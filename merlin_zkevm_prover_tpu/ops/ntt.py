@@ -1,0 +1,187 @@
+"""Number-theoretic transform over Goldilocks, TPU-native.
+
+Reimplements the capability of the reference prover's `NTT_Goldilocks`
+(reference call sites: src/starkpil/starks.hpp:46-47, starks.cpp:52,133,214,
+261,284,325-326 and src/starkpil/fri/friProve.cpp:100-102):
+
+  * ``ntt(a)``        — forward NTT, natural order in / natural order out
+  * ``intt(a)``       — inverse NTT (includes the 1/N scale)
+  * ``extend_pol(a)`` — low-degree extension: INTT -> coset-scale by
+                        ``shift^i`` -> zero-pad -> NTT on the 2^n_bits_ext
+                        domain.  Mirrors ``NTT_Goldilocks::extendPol``.
+
+Design: a radix-2 decimation-in-time transform expressed as ``log2(N)``
+fully-vectorised stages over the row axis, with the column axis untouched —
+columns are the embarrassingly-parallel axis, exactly the batching the
+reference gets from its `ncols` argument.  Each stage is a reshape +
+elementwise GL butterfly, which XLA fuses into a handful of VPU loops; the
+bit-reversal is a single static gather.  All arithmetic is the 2x-uint32-limb
+Goldilocks from :mod:`.goldilocks` so results are bit-exact with the
+reference's uint64 arithmetic.
+
+For multi-chip scaling, :func:`ntt` composes with ``shard_map`` via the
+four-step factorisation in :mod:`merlin_zkevm_prover_tpu.parallel.ntt4step`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import goldilocks as gl
+from .goldilocks import GL, P, SHIFT
+
+
+# ---------------------------------------------------------------------------
+# Host-side tables (cached per size)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(nbits: int) -> np.ndarray:
+    n = 1 << nbits
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(nbits):
+        rev |= ((idx >> b) & 1).astype(np.uint32) << (nbits - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(nbits: int, inverse: bool) -> np.ndarray:
+    """Powers w^0 .. w^(N/2-1) of the 2^nbits-th root (or its inverse)."""
+    root = gl.w(nbits) if not inverse else gl.w_inv(nbits)
+    return gl.powers_np(root, max(1 << (nbits - 1), 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _n_inv(nbits: int) -> int:
+    return pow(1 << nbits, P - 2, P)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers(nbits: int, inverse: bool = False) -> np.ndarray:
+    base = SHIFT if not inverse else gl.SHIFT_INV
+    return gl.powers_np(base, 1 << nbits)
+
+
+# ---------------------------------------------------------------------------
+# Core transform
+# ---------------------------------------------------------------------------
+
+
+def _as_2d(a: GL):
+    """View (N,) or (N, C...) as (N, C); returns (gl2d, restore_fn)."""
+    shape = a.shape
+    n = shape[0]
+    if a.lo.ndim == 1:
+        return a.reshape(n, 1), lambda x: x.reshape(n)
+    if a.lo.ndim == 2:
+        return a, lambda x: x
+    c = int(np.prod(shape[1:]))
+    return a.reshape(n, c), lambda x: x.reshape(*shape)
+
+
+def _ntt_2d(a: GL, nbits: int, inverse: bool) -> GL:
+    """In-order radix-2 DIT NTT over axis 0 of an (N, C) GL array."""
+    n = 1 << nbits
+    c = a.shape[1]
+    if nbits == 0:
+        return a
+
+    perm = jnp.asarray(_bitrev_perm(nbits))
+    x = GL(jnp.take(a.lo, perm, axis=0), jnp.take(a.hi, perm, axis=0))
+
+    table = _twiddle_table(nbits, inverse)  # np.uint64, length N/2
+    for s in range(1, nbits + 1):
+        m = 1 << (s - 1)  # half butterfly size
+        stride = 1 << (nbits - s)
+        tw_np = table[:: stride][:m] if m > 1 else table[:1]
+        tw = gl.from_u64(tw_np).reshape(1, m, 1)
+        xr = x.reshape(n // (2 * m), 2, m, c)
+        u = xr[:, 0]
+        v = gl.mul(xr[:, 1], GL(jnp.broadcast_to(tw.lo, u.shape),
+                                jnp.broadcast_to(tw.hi, u.shape)))
+        hi_ = gl.add(u, v)
+        lo_ = gl.sub(u, v)
+        x = GL(
+            jnp.stack([hi_.lo, lo_.lo], axis=1).reshape(n, c),
+            jnp.stack([hi_.hi, lo_.hi], axis=1).reshape(n, c),
+        )
+
+    if inverse:
+        x = gl.mul(x, gl.const(_n_inv(nbits)))
+    return x
+
+
+def ntt(a: GL) -> GL:
+    """Forward NTT over axis 0 (natural order in and out)."""
+    a2, restore = _as_2d(a)
+    nbits = int(a2.shape[0]).bit_length() - 1
+    assert (1 << nbits) == a2.shape[0], "NTT size must be a power of two"
+    return restore(_ntt_2d(a2, nbits, inverse=False))
+
+
+def intt(a: GL) -> GL:
+    """Inverse NTT over axis 0, including the 1/N normalisation."""
+    a2, restore = _as_2d(a)
+    nbits = int(a2.shape[0]).bit_length() - 1
+    assert (1 << nbits) == a2.shape[0]
+    return restore(_ntt_2d(a2, nbits, inverse=True))
+
+
+def coset_scale(coeffs: GL, shift: int = SHIFT) -> GL:
+    """Multiply coefficient i by shift^i (evaluation-domain coset shift)."""
+    a2, restore = _as_2d(coeffs)
+    nbits = int(a2.shape[0]).bit_length() - 1
+    if shift == SHIFT:
+        pows_np = _shift_powers(nbits)
+    elif shift == gl.SHIFT_INV:
+        pows_np = _shift_powers(nbits, inverse=True)
+    else:
+        pows_np = gl.powers_np(shift, a2.shape[0])
+    pows = gl.from_u64(pows_np).reshape(a2.shape[0], 1)
+    return restore(gl.mul(a2, GL(jnp.broadcast_to(pows.lo, a2.shape),
+                                 jnp.broadcast_to(pows.hi, a2.shape))))
+
+
+def extend_pol(a: GL, n_bits: int, n_bits_ext: int, shift: int = SHIFT) -> GL:
+    """Low-degree extension onto the shifted 2^n_bits_ext domain.
+
+    Equivalent to reference ``NTT_Goldilocks::extendPol(dst, src, NExt, N,
+    ncols)`` (used at src/starkpil/starks.cpp:52): interpolate the N
+    evaluations, coset-shift the coefficients, zero-pad to NExt, and
+    re-evaluate.
+    """
+    a2, restore_in = _as_2d(a)
+    n, c = a2.shape
+    assert n == 1 << n_bits
+    next_ = 1 << n_bits_ext
+    coeffs = _ntt_2d(a2, n_bits, inverse=True)
+    coeffs = coset_scale(coeffs, shift)
+    padded = GL(
+        jnp.concatenate([coeffs.lo, jnp.zeros((next_ - n, c), jnp.uint32)]),
+        jnp.concatenate([coeffs.hi, jnp.zeros((next_ - n, c), jnp.uint32)]),
+    )
+    out = _ntt_2d(padded, n_bits_ext, inverse=False)
+    if a.lo.ndim == 1:
+        return out.reshape(next_)
+    if a.lo.ndim == 2:
+        return out
+    return out.reshape(next_, *a.shape[1:])
+
+
+def eval_pol_coeffs(coeffs: GL, x) -> GL:
+    """Horner evaluation of a coefficient-form polynomial at scalar x (GL)."""
+    a2, _ = _as_2d(coeffs)
+    n, c = a2.shape
+
+    def body(carry, row):
+        return gl.add(gl.mul(carry, x), row), None
+
+    rev = GL(a2.lo[::-1], a2.hi[::-1])
+    out, _ = jax.lax.scan(body, gl.zeros((c,)), rev)
+    return out

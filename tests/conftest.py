@@ -14,3 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: unrolled field-op graphs are expensive to
+# compile on the CPU backend; cache them across pytest runs.
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; the env var alone is not enough — the config must
+# be updated after jax import to actually run tests on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
