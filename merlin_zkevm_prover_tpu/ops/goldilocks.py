@@ -398,6 +398,21 @@ def batch_inverse(a: GL, axis: int = -1) -> GL:
     return select(z, zeros(a.shape), out)
 
 
+def sum_axis0(a: GL) -> GL:
+    """Exact modular sum over axis 0 via log-depth halving (VPU-friendly)."""
+    n = a.shape[0]
+    if n == 0:
+        return zeros(a.shape[1:])
+    m = 1 << max((n - 1).bit_length(), 0)
+    if m != n:
+        pad = [(0, m - n)] + [(0, 0)] * (a.lo.ndim - 1)
+        a = GL(jnp.pad(a.lo, pad), jnp.pad(a.hi, pad))
+    while m > 1:
+        m //= 2
+        a = add(a[:m], a[m:])
+    return a[0]
+
+
 def powers(base: int, n: int, start: int = 1) -> GL:
     """Device array [start, start*base, ..., start*base^(n-1)] (host-computed)."""
     out = np.empty(n, dtype=np.uint64)
