@@ -214,8 +214,82 @@ def _canon(lo, hi) -> GL:
 # ---------------------------------------------------------------------------
 
 
+# u64 fast path: XLA emulates 64-bit integers with 32-bit pairs internally
+# on TPU, so doing the limb algebra in uint64 emits the same machine code
+# while shrinking the traced graph ~10x (critical for compile times).
+# Requires jax_enable_x64; the u32-pair path below is the fallback.
+
+
+def _x64() -> bool:
+    return jax.config.jax_enable_x64
+
+
+def _pack(a: GL):
+    return a.lo.astype(jnp.uint64) | (a.hi.astype(jnp.uint64) << np.uint64(32))
+
+
+def _unpack(v) -> GL:
+    return GL(
+        (v & np.uint64(0xFFFFFFFF)).astype(_U32),
+        (v >> np.uint64(32)).astype(_U32),
+    )
+
+
+_EPS64 = np.uint64(EPSILON)
+_P64 = np.uint64(P)
+
+
+def _canon64(v):
+    return jnp.where(v >= _P64, v - _P64, v)
+
+
+def _add_u64(a: GL, b: GL) -> GL:
+    x = _pack(a)
+    y = _pack(b)
+    s = x + y
+    c = (s < x).astype(jnp.uint64)
+    s = s + c * _EPS64  # cannot re-wrap: a,b < p so s < 2^64 - 2^33 + 2
+    return _unpack(_canon64(s))
+
+
+def _sub_u64(a: GL, b: GL) -> GL:
+    x = _pack(a)
+    y = _pack(b)
+    d = x - y
+    brw = (x < y).astype(jnp.uint64)
+    return _unpack(d - brw * _EPS64)
+
+
+def _mul_u64(a: GL, b: GL) -> GL:
+    al = a.lo.astype(jnp.uint64)
+    ah = a.hi.astype(jnp.uint64)
+    bl = b.lo.astype(jnp.uint64)
+    bh = b.hi.astype(jnp.uint64)
+    p00 = al * bl
+    p01 = al * bh
+    p10 = ah * bl
+    p11 = ah * bh
+    mid = p01 + p10
+    midc = (mid < p01).astype(jnp.uint64)
+    lo = p00 + (mid << np.uint64(32))
+    c0 = (lo < p00).astype(jnp.uint64)
+    hi = p11 + (mid >> np.uint64(32)) + (midc << np.uint64(32)) + c0
+    # reduce 128 -> 64: 2^64 = EPSILON, 2^96 = -1 (mod p)
+    hi_lo = hi & np.uint64(0xFFFFFFFF)
+    hi_hi = hi >> np.uint64(32)
+    b0 = (lo < hi_hi).astype(jnp.uint64)
+    t0 = lo - hi_hi - b0 * _EPS64
+    t1 = (hi_lo << np.uint64(32)) - hi_lo  # hi_lo * EPSILON < 2^64
+    s = t0 + t1
+    c = (s < t0).astype(jnp.uint64)
+    s = s + c * _EPS64
+    return _unpack(_canon64(s))
+
+
 def add(a: GL, b: GLLike) -> GL:
     b = _coerce(b)
+    if _x64():
+        return _add_u64(a, b)
     lo, hi, c = _add64(a.lo, a.hi, b.lo, b.hi)
     # carry => value = s + 2^64 == s + EPSILON (mod p); s + EPSILON < 2^64 here
     # because a + b < 2p  =>  s < 2^64 - 2^33 + 2.
@@ -226,6 +300,8 @@ def add(a: GL, b: GLLike) -> GL:
 
 def sub(a: GL, b: GLLike) -> GL:
     b = _coerce(b)
+    if _x64():
+        return _sub_u64(a, b)
     lo, hi, brw = _sub64(a.lo, a.hi, b.lo, b.hi)
     # borrow => true value = wrapped - 2^64 + p = wrapped - EPSILON
     lo2 = lo - (brw * np.uint32(EPSILON & 0xFFFFFFFF))
@@ -261,6 +337,8 @@ def _reduce128(r0, r1, r2, r3) -> GL:
 
 def mul(a: GL, b: GLLike) -> GL:
     b = _coerce(b)
+    if _x64():
+        return _mul_u64(a, b)
     # 128-bit schoolbook product in 4 uint32 columns
     p00l, p00h = mul32(a.lo, b.lo)
     p01l, p01h = mul32(a.lo, b.hi)
@@ -313,18 +391,37 @@ def pow7(a: GL) -> GL:
 
 
 def exp(a: GL, e: int) -> GL:
-    """a^e for a static host exponent (square-and-multiply, unrolled)."""
+    """a^e for a static host exponent.
+
+    Square-and-multiply as a lax.scan over the exponent bits: the graph is
+    one squaring + one select regardless of exponent size (deep unrolled
+    multiply chains are an XLA:CPU compile/runtime pathology, and on TPU
+    the rolled form compiles faster with identical arithmetic cost).
+    """
     e = e % (P - 1) if e >= P - 1 else e
     if e == 0:
         return ones(a.shape)
-    result = None
-    base = a
-    while e:
-        if e & 1:
-            result = base if result is None else mul(result, base)
-        e >>= 1
-        if e:
-            base = mul(base, base)
+    nbits = e.bit_length()
+    if nbits <= 4:
+        result = None
+        base = a
+        while e:
+            if e & 1:
+                result = base if result is None else mul(result, base)
+            e >>= 1
+            if e:
+                base = mul(base, base)
+        return result
+    bits = jnp.array([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+    def body(carry, bit):
+        result, base = carry
+        nxt = mul(result, base)
+        result = select(bit != 0, nxt, result)
+        base = mul(base, base)
+        return (result, base), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a.shape), a), bits)
     return result
 
 

@@ -232,51 +232,37 @@ def sum_axis0(a: GL3) -> GL3:
     return GL3(gl.sum_axis0(a.c0), gl.sum_axis0(a.c1), gl.sum_axis0(a.c2))
 
 
+def prefix_prod(a: GL3, reverse: bool = False, inclusive: bool = True) -> GL3:
+    """Blocked prefix product along axis 0 (see ops.scan_utils)."""
+    from .scan_utils import prefix_prod as _pp
+
+    return _pp(a, mul, ones, reverse=reverse, inclusive=inclusive)
+
+
 def powers_scan(base: "GL3", n: int) -> GL3:
     """[1, base, base^2, ..., base^(n-1)] for a device scalar base.
 
-    Log-depth associative scan — the TPU form of the reference's sequential
-    power loops (e.g. LEv/LpEv at src/starkpil/starks.cpp:320-324).
+    Blocked-scan form of the reference's sequential power loops (e.g.
+    LEv/LpEv at src/starkpil/starks.cpp:320-324).
     """
     tiled = GL3(
         GL(jnp.broadcast_to(base.c0.lo, (n,)), jnp.broadcast_to(base.c0.hi, (n,))),
         GL(jnp.broadcast_to(base.c1.lo, (n,)), jnp.broadcast_to(base.c1.hi, (n,))),
         GL(jnp.broadcast_to(base.c2.lo, (n,)), jnp.broadcast_to(base.c2.hi, (n,))),
     )
-    first_one = GL3(
-        GL(tiled.c0.lo.at[0].set(1), tiled.c0.hi.at[0].set(0)),
-        GL(tiled.c1.lo.at[0].set(0), tiled.c1.hi.at[0].set(0)),
-        GL(tiled.c2.lo.at[0].set(0), tiled.c2.hi.at[0].set(0)),
-    )
-    return jax.lax.associative_scan(mul, first_one, axis=0)
+    return prefix_prod(tiled, inclusive=False)
 
 
 def batch_inverse_parallel(a: GL3) -> GL3:
-    """Montgomery batch inversion with log-depth scans (no zeros allowed).
+    """Montgomery batch inversion via blocked scans (no zeros allowed).
 
     inv(a[i]) = prefix_excl[i] * suffix_excl[i] * inv(total) — the parallel
     form of reference Polinomial::batchInverseParallel (polinomial.hpp:635).
     """
-    p = jax.lax.associative_scan(mul, a, axis=0)
-    s = jax.lax.associative_scan(mul, a, axis=0, reverse=True)
-    tinv = inv(p[-1:])
-
-    def shr(x, fill):
-        return jnp.roll(x, 1, axis=0).at[0].set(fill)
-
-    def shl(x, fill):
-        return jnp.roll(x, -1, axis=0).at[-1].set(fill)
-
-    pe = GL3(
-        gl.GL(shr(p.c0.lo, 1), shr(p.c0.hi, 0)),
-        gl.GL(shr(p.c1.lo, 0), shr(p.c1.hi, 0)),
-        gl.GL(shr(p.c2.lo, 0), shr(p.c2.hi, 0)),
-    )
-    se = GL3(
-        gl.GL(shl(s.c0.lo, 1), shl(s.c0.hi, 0)),
-        gl.GL(shl(s.c1.lo, 0), shl(s.c1.hi, 0)),
-        gl.GL(shl(s.c2.lo, 0), shl(s.c2.hi, 0)),
-    )
+    pe = prefix_prod(a, inclusive=False)
+    se = prefix_prod(a, reverse=True, inclusive=False)
+    p_last = mul(pe[-1:], a[-1:])  # total product
+    tinv = inv(p_last)
     return mul(mul(pe, se), tinv)
 
 

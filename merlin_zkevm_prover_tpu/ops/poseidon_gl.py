@@ -207,6 +207,19 @@ def merkelize(source: GL) -> GL:
     return gl.concat([leaves, upper], axis=0)
 
 
+# Shape-cached jits: the leaf hash compiles per (h, w); the upper levels
+# compile once per height and are shared by every tree of that height
+# (all five commit trees in a proof have the same height).
+linear_hash_jit = jax.jit(linear_hash)
+merkle_nodes_jit = jax.jit(merkle_nodes)
+
+
+def merkelize_cached(source: GL) -> GL:
+    leaves = linear_hash_jit(source)
+    upper = merkle_nodes_jit(leaves)
+    return gl.concat([leaves, upper], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Host (python-int) forms — used by the Fiat-Shamir transcript and the SMT,
 # which are tiny and irreducibly sequential.

@@ -322,12 +322,14 @@ def compile_air(
     q_deg = max(max_deg - 1, 1)
     n_bits_ext = air.n_bits + blowup_bits
 
-    # combined constraint polynomial (Horner in alpha, pil-stark style)
+    # combined constraint polynomial (Horner in alpha, pil-stark style).
+    # The tree form drives the verifier; the prover evaluates the step42ns
+    # program as independent per-constraint dests and alpha-combines them
+    # with a lax.scan (deep unrolled mul chains pathologize XLA:CPU).
     c_exp = constraints[0]
     for c in constraints[1:]:
         c_exp = c_exp * alpha + c
-    q_expr = c_exp * Expr("Zi")
-    step42ns = [(("q",), q_expr)]
+    step42ns = [(("cstr", k), c) for k, c in enumerate(constraints)]
 
     # stage 4: q chunks
     for p in range(q_deg):
@@ -344,8 +346,10 @@ def compile_air(
         ev_map.append(("q", p, False))
 
     # ---- FRI polynomial ----
+    # Tree form (verifier) + per-term program (prover; scan-combined).
     acc = None
     acc_w = None
+    step52ns = []
     for k, (kind, pid, prime) in enumerate(ev_map):
         if kind == "cm":
             p_e = Expr("cm", id=pid)
@@ -354,6 +358,7 @@ def compile_air(
         else:
             p_e = Expr("q", id=pid)
         term = p_e - Expr("eval", id=k)
+        step52ns.append((("fterm", k), term))
         if prime:
             acc_w = term if acc_w is None else acc_w * v1 + term
         else:
@@ -361,7 +366,6 @@ def compile_air(
     fri_exp = acc * Expr("xDivXSubXi")
     if acc_w is not None:
         fri_exp = fri_exp + v2 * acc_w * Expr("xDivXSubWXi")
-    step52ns = [(("f",), fri_exp)]
 
     # ---- FRI step schedule ----
     if final_bits is None:

@@ -61,19 +61,27 @@ def fold_step(pol: GL3, pol_bits: int, next_bits: int, special_x: GL3,
     # descale: coeff row i of line g scaled by (shift_inv_cur * w^-g)^i
     wi = gl.w_inv(pol_bits)
     base_np = gl.powers_np(wi, pol2n, start=shift_inv_cur)
-    # power table S[i, g] = base[g]^i via log-depth scan
+    # power table S[i, g] = base[g]^i, built row by row (nx is small)
     base = gl.from_u64(base_np)
-    tiled = GL(jnp.broadcast_to(base.lo, (nx, pol2n)),
-               jnp.broadcast_to(base.hi, (nx, pol2n)))
-    first_one = GL(tiled.lo.at[0].set(1), tiled.hi.at[0].set(0))
-    s_tab = jax.lax.associative_scan(gl.mul, first_one, axis=0)
+    rows = [gl.ones((pol2n,))]
+    for _ in range(nx - 1):
+        rows.append(gl.mul(rows[-1], base))
+    s_tab = gl.stack(rows, axis=0)
     scaled = gl.mul(coeffs, GL(s_tab.lo[..., None], s_tab.hi[..., None]))
 
-    # Horner at special_x over the nx coefficient rows (high to low)
+    # Horner at special_x over the nx coefficient rows (high to low),
+    # rolled as a scan (tiny body, no deep unrolled chain)
     c = _mat_to_gl3(scaled)              # (nx, pol2n) GL3
-    acc = c[nx - 1]
-    for i in range(nx - 2, -1, -1):
-        acc = gl3.add(gl3.mul(acc, special_x), c[i])
+
+    def body(acc, row):
+        return gl3.add(gl3.mul(acc, special_x), row), None
+
+    rev = GL3(
+        GL(c.c0.lo[::-1], c.c0.hi[::-1]),
+        GL(c.c1.lo[::-1], c.c1.hi[::-1]),
+        GL(c.c2.lo[::-1], c.c2.hi[::-1]),
+    )
+    acc, _ = jax.lax.scan(body, gl3.zeros((pol2n,)), rev)
     return acc                           # (pol2n,) GL3
 
 

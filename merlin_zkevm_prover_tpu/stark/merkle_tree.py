@@ -33,10 +33,8 @@ class MerkleTreeGL:
         self.height, self.width = source.shape
         self.nodes: GL = None
 
-    _merkelize_jit = staticmethod(jax.jit(poseidon_gl.merkelize))
-
     def merkelize(self) -> None:
-        self.nodes = self._merkelize_jit(self.source)
+        self.nodes = poseidon_gl.merkelize_cached(self.source)
 
     def root(self) -> List[int]:
         assert self.nodes is not None

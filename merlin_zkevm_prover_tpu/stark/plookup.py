@@ -121,32 +121,18 @@ def calculate_h1h2(f: Value, t: Value) -> Tuple[Value, Value, jnp.ndarray]:
     return h1, h2, ok
 
 
-def _scan_mul3(a: GL3, reverse: bool = False) -> GL3:
-    """Inclusive associative-scan product along axis 0 of a (N,) GL3."""
-    return jax.lax.associative_scan(gl3.mul, a, axis=0, reverse=reverse)
-
-
 def calculate_z(num: GL3, den: GL3) -> GL3:
     """z[i] = prod_{j<i} num[j]/den[j]; z[0] = 1.  (N,) GL3 in/out.
 
     The total product must be 1 for a satisfied argument (the reference
     zkasserts this, polinomial.hpp:604-606); here the wrap-around constraint
-    z'*den - z*num == 0 at row N-1 enforces it in-proof.
+    z'*den - z*num == 0 at row N-1 enforces it in-proof.  Cumulative
+    products use blocked scans (ops.scan_utils); the denominator prefix
+    inverses come from one Fermat inversion of the total product.
     """
-    pnum = _scan_mul3(num)                        # inclusive prefix of num
-    sden = _scan_mul3(den, reverse=True)          # inclusive suffix of den
+    pnum_excl = gl3.prefix_prod(num, inclusive=False)
+    sden = gl3.prefix_prod(den, reverse=True)     # inclusive suffix of den
     tinv = gl3.inv(sden[0:1])                     # 1 / total(den), (1,)
     # inv(prefix_den_excl[i]) = suffix_den_incl[i] * inv(total)
     inv_pref_den_excl = gl3.mul(sden, tinv)       # broadcasts (1,) -> (N,)
-
-    def excl_prefix(a: GL3) -> GL3:
-        """[1, a0, a0a1, ...] from the inclusive prefix products."""
-        def sh(x, fill):
-            return jnp.roll(x, 1, axis=0).at[0].set(fill)
-        return GL3(
-            GL(sh(a.c0.lo, 1), sh(a.c0.hi, 0)),
-            GL(sh(a.c1.lo, 0), sh(a.c1.hi, 0)),
-            GL(sh(a.c2.lo, 0), sh(a.c2.hi, 0)),
-        )
-
-    return gl3.mul(excl_prefix(pnum), inv_pref_den_excl)
+    return gl3.mul(pnum_excl, inv_pref_den_excl)

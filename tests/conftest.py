@@ -25,3 +25,5 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# u64 fast path for field-op internals (see ops/goldilocks.py)
+jax.config.update("jax_enable_x64", True)
