@@ -40,13 +40,14 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_cols(mesh: Mesh) -> NamedSharding:
-    """(N, C) array sharded over the column axis (NTT-friendly)."""
-    return NamedSharding(mesh, P(None, ("rows", "cols")))
+    """(N, C) array: rows over 'rows', columns over 'cols' (NTT-friendly:
+    the transform axis stays local, columns are embarrassingly parallel)."""
+    return NamedSharding(mesh, P(None, "cols"))
 
 
 def shard_rows(mesh: Mesh) -> NamedSharding:
     """(N, C) array sharded over the row axis (hash/constraint-friendly)."""
-    return NamedSharding(mesh, P(("rows", "cols"), None))
+    return NamedSharding(mesh, P("rows", None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
