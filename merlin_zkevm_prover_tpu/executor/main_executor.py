@@ -1,0 +1,543 @@
+"""Main state machine: the zkASM ROM interpreter.
+
+Re-creates the reference `MainExecutor::execute` semantics
+(src/main_sm/fork_5/main/main_executor.cpp:53-4580):
+
+  * 256-bit registers A..E held as 8 x 32-bit field elements, scalar
+    registers (SR root, CTX, SP, PC, GAS, RR, HASHPOS, RCX, counters);
+  * per step: op = sum(in_x * x) + CONST/CONSTL, free input from the
+    freeInTag command or implicit sources (memory / storage / hash
+    digests), setters, memory ops with CTX/stack/mem segmentation
+    (STACK_OFFSET 0x10000, MEM_OFFSET 0x20000, CTX_OFFSET 0x40000),
+    storage reads/writes through the Poseidon SMT, binary/arith
+    delegation with carry, Keccak/Poseidon hash streams, jumps
+    (JMPN on op0 in the 32-bit negative window, JMPC on carry, JMPZ,
+    call/return/repeat), counters;
+  * emits `required` action lists for the secondary state machines
+    (reference executor.cpp:296-458 dispatch).
+
+This is the framework's "fast executor" (process_batch, 1-row pols); the
+full 2^23-row trace fill reuses the same step loop with a pols recorder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..hashdb.hashdb import HashDB
+from ..hashdb.smt import fea2scalar, scalar2fea
+from ..ops import poseidon_gl
+from ..ops.goldilocks import P
+from ..utils.keccak import keccak256
+from ..utils.zklog import zklog
+from .rom import Rom, RomLine
+
+STACK_OFFSET = 0x10000
+MEM_OFFSET = 0x20000
+CTX_OFFSET = 0x40000
+FR_FIRST_32_NEGATIVE = P - 0xFFFFFFFF
+FR_LAST_32_POSITIVE = 0xFFFFFFFF
+
+MASK256 = (1 << 256) - 1
+
+
+class ExecutorError(Exception):
+    def __init__(self, code: str, msg: str = ""):
+        super().__init__(f"{code}: {msg}")
+        self.code = code
+
+
+def fea8(value: int) -> List[int]:
+    return scalar2fea(value & MASK256)
+
+
+def fe_to_s32(v: int) -> int:
+    """Field element -> signed 32-bit (reference fr.toS32)."""
+    if v <= 0x7FFFFFFF:
+        return v
+    if v >= P - 0x80000000:
+        return v - P
+    raise ExecutorError("S32", f"value out of s32 range: {v}")
+
+
+@dataclass
+class Counters:
+    arith: int = 0
+    binary: int = 0
+    keccak_f: int = 0
+    mem_align: int = 0
+    padding_pg: int = 0
+    poseidon_g: int = 0
+    steps: int = 0
+
+    def as_dict(self):
+        return dict(cntArith=self.arith, cntBinary=self.binary,
+                    cntKeccakF=self.keccak_f, cntMemAlign=self.mem_align,
+                    cntPaddingPG=self.padding_pg, cntPoseidonG=self.poseidon_g,
+                    cntSteps=self.steps)
+
+
+@dataclass
+class HashState:
+    data: bytearray = field(default_factory=bytearray)
+    read_len: Dict[int, int] = field(default_factory=dict)
+    len_called: bool = False
+    digest: Optional[int] = None
+
+
+@dataclass
+class Required:
+    """Work items for the secondary state machines (reference `required`)."""
+
+    arith: List[dict] = field(default_factory=list)
+    binary: List[dict] = field(default_factory=list)
+    memory: List[dict] = field(default_factory=list)
+    mem_align: List[dict] = field(default_factory=list)
+    poseidon_g: List[list] = field(default_factory=list)
+    keccak_inputs: List[bytes] = field(default_factory=list)
+    storage: List[dict] = field(default_factory=list)
+
+
+@dataclass
+class Context:
+    rom: Rom
+    hashdb: HashDB
+    # 256-bit registers as 8x 32-bit limb lists
+    A: List[int] = field(default_factory=lambda: [0] * 8)
+    B: List[int] = field(default_factory=lambda: [0] * 8)
+    C: List[int] = field(default_factory=lambda: [0] * 8)
+    D: List[int] = field(default_factory=lambda: [0] * 8)
+    E: List[int] = field(default_factory=lambda: [0] * 8)
+    SR: List[int] = field(default_factory=lambda: [0] * 8)
+    CTX: int = 0
+    SP: int = 0
+    PC: int = 0
+    GAS: int = 0
+    RR: int = 0
+    HASHPOS: int = 0
+    RCX: int = 0
+    zkPC: int = 0
+    carry: int = 0
+    counters: Counters = field(default_factory=Counters)
+    mem: Dict[int, List[int]] = field(default_factory=dict)
+    hash_k: Dict[int, HashState] = field(default_factory=dict)
+    hash_p: Dict[int, HashState] = field(default_factory=dict)
+    vars: Dict[str, int] = field(default_factory=dict)
+    required: Required = field(default_factory=Required)
+    input_data: dict = field(default_factory=dict)
+    trace: List[dict] = field(default_factory=list)
+
+
+def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
+    """8x32-bit fea -> 4x64-bit SMT root felts."""
+    return (
+        sr8[0] | (sr8[1] << 32),
+        sr8[2] | (sr8[3] << 32),
+        sr8[4] | (sr8[5] << 32),
+        sr8[6] | (sr8[7] << 32),
+    )
+
+
+def sr4to8(root: Tuple[int, int, int, int]) -> List[int]:
+    out = []
+    for v in root:
+        out.append(v & 0xFFFFFFFF)
+        out.append((v >> 32) & 0xFFFFFFFF)
+    return out
+
+
+def storage_key(ctx: Context) -> Tuple[int, int, int, int]:
+    """Poseidon key derivation (reference main_executor.cpp sRD/sWR blocks):
+    Kin0 = C0..C7 (capacity zero), Kin1 = A0..A5, B0, B1 (capacity =
+    H(Kin0))."""
+    kin0 = list(ctx.C)
+    kin1 = [ctx.A[0], ctx.A[1], ctx.A[2], ctx.A[3], ctx.A[4], ctx.A[5],
+            ctx.B[0], ctx.B[1]]
+    key_i = poseidon_gl.permute_host(kin0 + [0, 0, 0, 0])[:4]
+    key = poseidon_gl.permute_host(kin1 + list(key_i))[:4]
+    ctx.counters.poseidon_g += 2
+    ctx.required.poseidon_g.append(kin0 + [0, 0, 0, 0])
+    ctx.required.poseidon_g.append(kin1 + list(key_i))
+    return tuple(key)
+
+
+class MainExecutor:
+    def __init__(self, rom: Rom, hashdb: Optional[HashDB] = None,
+                 max_steps: int = 1 << 23):
+        self.rom = rom
+        self.hashdb = hashdb or HashDB()
+        self.max_steps = max_steps
+
+    # ------------------------------------------------------------------
+    def execute(self, input_data: Optional[dict] = None,
+                record_trace: bool = False) -> Context:
+        ctx = Context(rom=self.rom, hashdb=self.hashdb,
+                      input_data=input_data or {})
+        if "oldStateRoot" in ctx.input_data:
+            ctx.SR = fea8(int(ctx.input_data["oldStateRoot"]))
+        from .eval_command import eval_command  # cycle-free local import
+
+        finished = False
+        while not finished:
+            if ctx.counters.steps >= self.max_steps:
+                raise ExecutorError("OOC_STEPS", "out of steps")
+            line = self.rom.lines[ctx.zkPC]
+            finished = self._step(ctx, line, eval_command, record_trace)
+            ctx.counters.steps += 1
+        return ctx
+
+    # ------------------------------------------------------------------
+    def _step(self, ctx: Context, line: RomLine, eval_command,
+              record_trace: bool) -> bool:
+        # ---- address computation ----
+        addr_rel = 0
+        addr = 0
+        if (line.flag("ind") or line.flag("indRR") or line.flag("mOp")
+                or line.flag("JMP") or line.flag("JMPN") or line.flag("JMPC")
+                or line.flag("JMPZ") or line.flag("call")):
+            if line.flag("ind"):
+                addr_rel = fe_to_s32(ctx.E[0])
+            if line.flag("indRR"):
+                addr_rel = fe_to_s32(ctx.RR)
+            if line.offset:
+                addr_rel += line.offset
+            if line.flag("isStack"):
+                addr_rel += ctx.SP
+            limit = (0x20000 if line.flag("isMem") else 0x10000) - 2048
+            if addr_rel >= limit:
+                raise ExecutorError("ADDR", f"addrRel too big {addr_rel}")
+            if addr_rel < 0:
+                raise ExecutorError("ADDR", f"addrRel negative {addr_rel}")
+            addr = addr_rel
+        if line.flag("isStack"):
+            addr += STACK_OFFSET
+        if line.flag("isMem"):
+            addr += MEM_OFFSET
+        if line.flag("useCTX"):
+            addr += ctx.CTX * CTX_OFFSET
+
+        # ---- op construction ----
+        op = [0] * 8
+
+        def add_reg(coef: int, limbs: List[int]):
+            for i in range(8):
+                op[i] = (op[i] + coef * limbs[i]) % P
+
+        def add_scalar(coef: int, v: int):
+            op[0] = (op[0] + coef * v) % P
+
+        ins = line.ins
+        if "inA" in ins:
+            add_reg(ins["inA"], ctx.A)
+        if "inB" in ins:
+            add_reg(ins["inB"], ctx.B)
+        if "inC" in ins:
+            add_reg(ins["inC"], ctx.C)
+        if "inD" in ins:
+            add_reg(ins["inD"], ctx.D)
+        if "inE" in ins:
+            add_reg(ins["inE"], ctx.E)
+        if "inSR" in ins:
+            add_reg(ins["inSR"], ctx.SR)
+        if "inROTL_C" in ins:
+            rot = [ctx.C[7]] + ctx.C[0:7]
+            add_reg(ins["inROTL_C"], rot)
+        for name, val in (
+            ("inCTX", ctx.CTX), ("inSP", ctx.SP), ("inPC", ctx.PC),
+            ("inGAS", ctx.GAS), ("inSTEP", ctx.counters.steps),
+            ("inRR", ctx.RR), ("inHASHPOS", ctx.HASHPOS),
+            ("inRCX", ctx.RCX),
+            ("inCntArith", ctx.counters.arith),
+            ("inCntBinary", ctx.counters.binary),
+            ("inCntKeccakF", ctx.counters.keccak_f),
+            ("inCntMemAlign", ctx.counters.mem_align),
+            ("inCntPaddingPG", ctx.counters.padding_pg),
+            ("inCntPoseidonG", ctx.counters.poseidon_g),
+        ):
+            if name in ins:
+                add_scalar(ins[name], val)
+        if line.const is not None:
+            add_scalar(1, line.const % P)
+        if line.constl is not None:
+            for i, v in enumerate(fea8(line.constl)):
+                op[i] = (op[i] + v) % P
+
+        # ---- free input ----
+        if "inFREE" in ins:
+            fi = self._free_input(ctx, line, addr, eval_command)
+            coef = ins["inFREE"]
+            for i in range(8):
+                op[i] = (op[i] + coef * fi[i]) % P
+
+        # ---- assert ----
+        if line.flag("assert"):
+            if op != [a % P for a in ctx.A]:
+                raise ExecutorError(
+                    "ASSERT", f"assert failed at zkPC={ctx.zkPC} "
+                              f"op={op} A={ctx.A}"
+                )
+
+        # ---- memory write ----
+        if line.flag("mOp") and line.flag("mWR"):
+            ctx.mem[addr] = list(op)
+            ctx.required.memory.append(
+                {"addr": addr, "wr": True, "value": list(op),
+                 "step": ctx.counters.steps}
+            )
+        elif line.flag("mOp"):
+            val = ctx.mem.get(addr, [0] * 8)
+            ctx.required.memory.append(
+                {"addr": addr, "wr": False, "value": list(val),
+                 "step": ctx.counters.steps}
+            )
+            if "inFREE" not in ins and val != op:
+                raise ExecutorError("MEM", f"memory check failed at {addr}")
+
+        # ---- storage write (sWR): new root must equal op via free input;
+        # the state transition itself happened in _free_input ----
+
+        # ---- keccak / poseidon hash streams ----
+        if line.flag("hashK") or line.flag("hashK1"):
+            self._hash_absorb(ctx, ctx.hash_k, line, op, addr,
+                              one=line.flag("hashK1"))
+        if line.flag("hashKLen"):
+            hs = ctx.hash_k.setdefault(addr, HashState())
+            ln = fe_to_s32(op[0])
+            if len(hs.data) > ln:
+                raise ExecutorError("HASHK", "hashKLen shorter than data")
+            hs.data.extend(b"\x00" * (ln - len(hs.data)))
+            hs.len_called = True
+        if line.flag("hashP") or line.flag("hashP1"):
+            self._hash_absorb(ctx, ctx.hash_p, line, op, addr,
+                              one=line.flag("hashP1"))
+        if line.flag("hashPLen"):
+            hs = ctx.hash_p.setdefault(addr, HashState())
+            ln = fe_to_s32(op[0])
+            hs.data.extend(b"\x00" * (ln - len(hs.data)))
+            hs.len_called = True
+
+        # ---- binary ----
+        if line.flag("bin"):
+            self._binary(ctx, line, op)
+
+        # ---- arith ----
+        if line.flag("arith") or line.flag("arithEq0"):
+            self._arith(ctx, line, op)
+
+        # ---- setters ----
+        if line.flag("setA"):
+            ctx.A = list(op)
+        if line.flag("setB"):
+            ctx.B = list(op)
+        if line.flag("setC"):
+            ctx.C = list(op)
+        if line.flag("setD"):
+            ctx.D = list(op)
+        if line.flag("setE"):
+            ctx.E = list(op)
+        if line.flag("setSR"):
+            ctx.SR = list(op)
+        if line.flag("setCTX"):
+            ctx.CTX = fe_to_s32(op[0])
+        if line.flag("setSP"):
+            ctx.SP = fe_to_s32(op[0])
+        elif line.inc_stack:
+            ctx.SP += line.inc_stack
+        if line.flag("setPC"):
+            ctx.PC = fe_to_s32(op[0])
+        if line.flag("setGAS"):
+            ctx.GAS = op[0]
+        if line.flag("setRR"):
+            ctx.RR = op[0]
+        if line.flag("setHASHPOS"):
+            ctx.HASHPOS = fe_to_s32(op[0])
+        if line.flag("setRCX"):
+            ctx.RCX = op[0]
+
+        if record_trace:
+            ctx.trace.append(
+                {"zkPC": ctx.zkPC, "op": list(op), "step": ctx.counters.steps}
+            )
+
+        # ---- control flow ----
+        next_zkpc = ctx.zkPC + 1
+        if line.flag("JMPN"):
+            v = op[0]
+            if v >= FR_FIRST_32_NEGATIVE:
+                next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
+            elif v <= FR_LAST_32_POSITIVE:
+                next_zkpc = (line.else_addr if line.flag("useElseAddr")
+                             else ctx.zkPC + 1)
+            else:
+                raise ExecutorError("S33", f"JMPN invalid op0={v}")
+        elif line.flag("JMPC"):
+            if ctx.carry:
+                next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
+            else:
+                next_zkpc = (line.else_addr if line.flag("useElseAddr")
+                             else ctx.zkPC + 1)
+        elif line.flag("JMPZ"):
+            if op[0] == 0:
+                next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
+            else:
+                next_zkpc = (line.else_addr if line.flag("useElseAddr")
+                             else ctx.zkPC + 1)
+        elif line.flag("JMP"):
+            next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
+        elif line.flag("call"):
+            ctx.RR = ctx.zkPC + 1
+            next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
+        elif line.flag("return"):
+            next_zkpc = ctx.RR
+        elif line.flag("repeat") and ctx.RCX != 0:
+            ctx.RCX = (ctx.RCX - 1) % P
+            if ctx.RCX != 0:
+                next_zkpc = ctx.zkPC
+
+        # terminal condition: jump-to-self at the end label, or running off
+        finished = (next_zkpc == ctx.zkPC and
+                    not (line.flag("repeat") and ctx.RCX != 0))
+        if next_zkpc >= self.rom.size:
+            finished = True
+        ctx.zkPC = next_zkpc
+        return finished
+
+    # ------------------------------------------------------------------
+    def _free_input(self, ctx: Context, line: RomLine, addr: int,
+                    eval_command) -> List[int]:
+        tag = line.free_in_tag
+        if tag is not None and tag.get("op", "") != "":
+            value = eval_command(ctx, tag)
+            if isinstance(value, list):
+                return value
+            return fea8(int(value))
+        # implicit sources
+        if line.flag("mOp") and not line.flag("mWR"):
+            return list(ctx.mem.get(addr, [0] * 8))
+        if line.flag("sRD"):
+            key = storage_key(ctx)
+            root = sr8to4(ctx.SR)
+            res = ctx.hashdb.get(root, key)
+            ctx.required.storage.append(
+                {"op": "get", "root": root, "key": key, "value": res.value}
+            )
+            return fea8(res.value)
+        if line.flag("sWR"):
+            key = storage_key(ctx)
+            root = sr8to4(ctx.SR)
+            value = fea2scalar(ctx.D)
+            res = ctx.hashdb.set("", 0, root, key, value)
+            ctx.required.storage.append(
+                {"op": "set", "root": root, "key": key, "value": value,
+                 "newRoot": res.new_root}
+            )
+            return sr4to8(res.new_root)
+        if line.flag("hashKDigest"):
+            hs = ctx.hash_k.setdefault(addr, HashState())
+            if hs.digest is None:
+                hs.digest = int.from_bytes(keccak256(bytes(hs.data)), "big")
+                blocks = len(hs.data) // 136 + 1
+                ctx.counters.keccak_f += blocks
+                ctx.required.keccak_inputs.append(bytes(hs.data))
+            return fea8(hs.digest)
+        if line.flag("hashPDigest"):
+            hs = ctx.hash_p.setdefault(addr, HashState())
+            if hs.digest is None:
+                felts = []
+                data = bytes(hs.data)
+                # linear poseidon over 7-byte chunks (reference hashP)
+                for off in range(0, len(data), 7):
+                    felts.append(int.from_bytes(data[off:off + 7], "little"))
+                digest4 = poseidon_gl.linear_hash_host(felts + [len(data)])
+                hs.digest = fea2scalar(sr4to8(tuple(digest4)))
+                ctx.counters.poseidon_g += max(1, (len(felts) + 7) // 8)
+            return fea8(hs.digest)
+        raise ExecutorError(
+            "FREEIN", f"no free input source at zkPC={ctx.zkPC} "
+                      f"({line.line_str})"
+        )
+
+    # ------------------------------------------------------------------
+    def _binary(self, ctx: Context, line: RomLine, op: List[int]):
+        a = fea2scalar(ctx.A)
+        b = fea2scalar(ctx.B)
+        c = fea2scalar(op)
+        opcode = line.bin_opcode
+        carry = 0
+        if opcode == 0:      # ADD
+            expected = (a + b) & MASK256
+            carry = 1 if a + b > MASK256 else 0
+        elif opcode == 1:    # SUB
+            expected = (a - b) & MASK256
+            carry = 1 if a < b else 0
+        elif opcode == 2:    # LT
+            expected = 1 if a < b else 0
+            carry = expected
+        elif opcode == 3:    # SLT
+            sa = a - (1 << 256) if a >> 255 else a
+            sb = b - (1 << 256) if b >> 255 else b
+            expected = 1 if sa < sb else 0
+            carry = expected
+        elif opcode == 4:    # EQ
+            expected = 1 if a == b else 0
+            carry = expected
+        elif opcode == 5:    # AND
+            expected = a & b
+            carry = 1 if expected != 0 else 0
+        elif opcode == 6:    # OR
+            expected = a | b
+            carry = 0
+        elif opcode == 7:    # XOR
+            expected = a ^ b
+            carry = 0
+        elif opcode == 8:    # LT4 (4x64-bit chunk-wise less-than)
+            expected = 1
+            for k in range(4):
+                if ((a >> (64 * k)) & ((1 << 64) - 1)) >= \
+                   ((b >> (64 * k)) & ((1 << 64) - 1)):
+                    expected = 0
+                    break
+            carry = expected
+        else:
+            raise ExecutorError("BIN", f"invalid binOpcode {opcode}")
+        if c != expected:
+            raise ExecutorError(
+                "BIN", f"binary check failed opcode={opcode} at "
+                       f"zkPC={ctx.zkPC}: got {c} expected {expected}"
+            )
+        ctx.carry = carry
+        ctx.counters.binary += 1
+        ctx.required.binary.append(
+            {"a": a, "b": b, "c": c, "opcode": opcode, "type": 1}
+        )
+
+    def _hash_absorb(self, ctx: Context, table: Dict[int, HashState],
+                     line: RomLine, op: List[int], addr: int, one: bool):
+        size = 1 if one else fe_to_s32(ctx.D[0])
+        if size < 0 or size > 32:
+            raise ExecutorError("HASH", f"bad hash size {size}")
+        hs = table.setdefault(addr, HashState())
+        value = fea2scalar(op) & ((1 << (8 * size)) - 1)
+        data = value.to_bytes(size, "big")
+        pos = ctx.HASHPOS
+        if len(hs.data) < pos + size:
+            hs.data.extend(b"\x00" * (pos + size - len(hs.data)))
+        hs.data[pos:pos + size] = data
+        ctx.HASHPOS = pos + size
+
+    def _arith(self, ctx: Context, line: RomLine, op: List[int]):
+        a = fea2scalar(ctx.A)
+        b = fea2scalar(ctx.B)
+        c = fea2scalar(ctx.C)
+        d = fea2scalar(ctx.D)
+        o = fea2scalar(op)
+        # base equation: A*B + C = D*2^256 + op
+        if (a * b + c) != (d << 256) + o:
+            raise ExecutorError(
+                "ARITH", f"arith check failed at zkPC={ctx.zkPC}"
+            )
+        ctx.counters.arith += 1
+        ctx.required.arith.append(
+            {"x1": a, "y1": b, "x2": c, "y2": d, "x3": 0, "y3": o, "eq": 0}
+        )

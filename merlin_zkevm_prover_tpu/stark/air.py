@@ -16,11 +16,16 @@ accesses in its generated chelpers).
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 from ..ops.goldilocks import P
+
+# expression walks (combined-constraint Horner chains) exceed the default
+# python recursion limit at zkEVM scale (675 alpha-chained constraints)
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
 
 # Leaf kinds and operation kinds
 LEAF_KINDS = (

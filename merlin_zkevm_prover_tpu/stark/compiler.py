@@ -131,17 +131,25 @@ class StarkInfo:
         return [i for i, p in enumerate(self.cm_pols) if p.stage == 4]
 
 
-def rotate(e: Expr) -> Expr:
+def rotate(e: Expr, _memo: Optional[dict] = None) -> Expr:
     """Shift an expression one row forward (prime every column leaf)."""
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(e))
+    if hit is not None:
+        return hit
     if e.kind in ("cm", "const"):
         if e.prime:
             raise ValueError("double rotation unsupported")
-        return Expr(e.kind, id=e.id, prime=True)
-    if e.kind in ("add", "sub", "mul", "neg"):
-        return Expr(e.kind, args=tuple(rotate(a) for a in e.args))
-    if e.kind in ("challenge", "public", "number", "eval"):
-        return e
-    raise ValueError(f"cannot rotate {e.kind}")
+        out = Expr(e.kind, id=e.id, prime=True)
+    elif e.kind in ("add", "sub", "mul", "neg"):
+        out = Expr(e.kind, args=tuple(rotate(a, _memo) for a in e.args))
+    elif e.kind in ("challenge", "public", "number", "eval"):
+        out = e
+    else:
+        raise ValueError(f"cannot rotate {e.kind}")
+    _memo[id(e)] = out
+    return out
 
 
 def _compress(cols: List[Expr], ch: Expr) -> Expr:
@@ -152,25 +160,65 @@ def _compress(cols: List[Expr], ch: Expr) -> Expr:
     return acc
 
 
-def _expr_dim(e: Expr, cm_dims: Dict[int, int]) -> int:
+def _expr_dim(e: Expr, cm_dims: Dict[int, int],
+              _memo: Optional[dict] = None) -> int:
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(e))
+    if hit is not None:
+        return hit
     if e.kind == "cm":
-        return cm_dims[e.id]
-    if e.kind in ("const", "number", "public", "x", "Zi"):
-        return 1
-    if e.kind in ("challenge", "eval", "xDivXSubXi", "xDivXSubWXi", "q"):
-        return 3
-    if e.kind == "neg":
-        return _expr_dim(e.args[0], cm_dims)
-    return max(_expr_dim(a, cm_dims) for a in e.args)
+        d = cm_dims[e.id]
+    elif e.kind in ("const", "number", "public", "x", "Zi"):
+        d = 1
+    elif e.kind in ("challenge", "eval", "xDivXSubXi", "xDivXSubWXi", "q"):
+        d = 3
+    elif e.kind == "neg":
+        d = _expr_dim(e.args[0], cm_dims, _memo)
+    else:
+        d = max(_expr_dim(a, cm_dims, _memo) for a in e.args)
+    _memo[id(e)] = d
+    return d
 
 
-def _collect_col_refs(e: Expr, out: List[Tuple[str, int, bool]]) -> None:
+def _collect_col_refs(e: Expr, out: List[Tuple[str, int, bool]],
+                      seen: Optional[set] = None) -> None:
+    if seen is None:
+        seen = set()
+    if id(e) in seen:
+        return
+    seen.add(id(e))
     if e.kind in ("cm", "const"):
         key = (e.kind, e.id, e.prime)
         if key not in out:
             out.append(key)
     for a in e.args:
-        _collect_col_refs(a, out)
+        _collect_col_refs(a, out, seen)
+
+
+def expr_degree(e: Expr, memo: Optional[dict] = None) -> int:
+    """Memoized degree over hash-consed DAGs (Expr.degree() walks trees)."""
+    if memo is None:
+        memo = {}
+    hit = memo.get(id(e))
+    if hit is not None:
+        return hit
+    k = e.kind
+    if k in ("cm", "const", "tmpexp", "q", "x"):
+        d = 1
+    elif k in ("challenge", "public", "number", "eval",
+               "xDivXSubXi", "xDivXSubWXi", "Zi"):
+        d = 0
+    elif k in ("add", "sub"):
+        d = max(expr_degree(a, memo) for a in e.args)
+    elif k == "mul":
+        d = sum(expr_degree(a, memo) for a in e.args)
+    elif k == "neg":
+        d = expr_degree(e.args[0], memo)
+    else:
+        raise ValueError(k)
+    memo[id(e)] = d
+    return d
 
 
 def compile_air(
@@ -312,7 +360,8 @@ def compile_air(
         raise ValueError("AIR has no constraints")
 
     # ---- quotient parameters ----
-    max_deg = max(max(c.degree() for c in constraints), 1)
+    deg_memo: dict = {}
+    max_deg = max(max(expr_degree(c, deg_memo) for c in constraints), 1)
     need_blowup = max(1, (max_deg - 1).bit_length())
     if blowup_bits is None:
         blowup_bits = need_blowup
