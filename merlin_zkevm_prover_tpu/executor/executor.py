@@ -1,0 +1,90 @@
+"""Executor dispatcher (reference src/executor/executor.cpp).
+
+Fast mode (`process_batch`, reference :18-182): Main SM only, returns
+counters + required actions.  Full mode (`execute`, reference :296-458):
+Main SM then the secondary SMs concurrently (thread pool standing in for
+the reference's 6 pthreads), producing the per-SM committed columns.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..hashdb.hashdb import HashDB
+from ..utils.timer import TimerLog
+from .main_executor import Context, MainExecutor
+from .rom import Rom
+from .sm import (
+    ArithExecutor,
+    BinaryExecutor,
+    MemAlignExecutor,
+    MemoryExecutor,
+    PoseidonGExecutor,
+)
+
+
+@dataclass
+class ProcessBatchResult:
+    counters: Dict[str, int]
+    new_state_root: tuple
+    ctx: Context
+
+
+@dataclass
+class ExecuteResult:
+    ctx: Context
+    sm_pols: Dict[str, Dict[str, np.ndarray]] = field(default_factory=dict)
+
+
+class Executor:
+    def __init__(self, rom: Rom, hashdb: Optional[HashDB] = None,
+                 n_bits: int = 16):
+        self.rom = rom
+        self.hashdb = hashdb or HashDB()
+        self.n = 1 << n_bits
+        self.main = MainExecutor(rom, self.hashdb, max_steps=self.n)
+        self.arith = ArithExecutor()
+        self.binary = BinaryExecutor()
+        self.memory = MemoryExecutor()
+        self.mem_align = MemAlignExecutor()
+        self.poseidon_g = PoseidonGExecutor()
+
+    def process_batch(self, input_data: Optional[dict] = None
+                      ) -> ProcessBatchResult:
+        """Latency path: Main SM only (reference Executor::process_batch)."""
+        ctx = self.main.execute(input_data)
+        from .main_executor import sr8to4
+
+        return ProcessBatchResult(
+            counters=ctx.counters.as_dict(),
+            new_state_root=sr8to4(ctx.SR),
+            ctx=ctx,
+        )
+
+    def execute(self, input_data: Optional[dict] = None,
+                timer: Optional[TimerLog] = None) -> ExecuteResult:
+        """Full mode: Main SM + secondary SMs in parallel threads."""
+        tlog = timer or TimerLog("executor", quiet=True)
+        with tlog.span("MAIN_EXECUTOR"):
+            ctx = self.main.execute(input_data, record_trace=True)
+        req = ctx.required
+        res = ExecuteResult(ctx=ctx)
+        jobs = {
+            "arith": lambda: self.arith.execute(req.arith, self.n),
+            "binary": lambda: self.binary.execute(req.binary, self.n),
+            "memory": lambda: self.memory.execute(req.memory, self.n),
+            "memAlign": lambda: self.mem_align.execute(req.mem_align, self.n),
+            "poseidonG": lambda: self.poseidon_g.execute(
+                req.poseidon_g, self.n
+            ),
+        }
+        with tlog.span("SECONDARY_SMS"):
+            with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+                futures = {name: ex.submit(fn) for name, fn in jobs.items()}
+                for name, fut in futures.items():
+                    res.sm_pols[name] = fut.result()
+        return res
