@@ -94,7 +94,10 @@ class Database:
 
     def __init__(self, backend: str = ":memory:", use_cache: bool = True,
                  use_assoc_cache: bool = False, sender_thread: bool = False):
-        self._local = threading.local()
+        # one shared connection serialized by a lock: sqlite ':memory:' DBs
+        # are per-connection, and gRPC handlers run on arbitrary threads
+        self._conn_obj = sqlite3.connect(backend, check_same_thread=False)
+        self._conn_lock = threading.RLock()
         self.backend = backend
         self.cache = LruCache() if use_cache else None
         self.assoc = AssociativeCache() if use_assoc_cache else None
@@ -112,19 +115,14 @@ class Database:
             )
             self._sender.start()
 
-    # -- connection per thread (sqlite restriction) --
-    def _conn(self) -> sqlite3.Connection:
-        if not hasattr(self._local, "conn"):
-            self._local.conn = sqlite3.connect(self.backend)
-        return self._local.conn
-
     def _init_schema(self):
-        c = self._conn()
-        c.execute("CREATE TABLE IF NOT EXISTS nodes "
-                  "(hash TEXT PRIMARY KEY, data TEXT)")
-        c.execute("CREATE TABLE IF NOT EXISTS programs "
-                  "(hash TEXT PRIMARY KEY, data BLOB)")
-        c.commit()
+        with self._conn_lock:
+            c = self._conn_obj
+            c.execute("CREATE TABLE IF NOT EXISTS nodes "
+                      "(hash TEXT PRIMARY KEY, data TEXT)")
+            c.execute("CREATE TABLE IF NOT EXISTS programs "
+                      "(hash TEXT PRIMARY KEY, data BLOB)")
+            c.commit()
 
     # ------------------------------------------------------------------
     def read_node(self, key: Tuple[int, ...]) -> Optional[List[int]]:
@@ -140,9 +138,10 @@ class Database:
         with self.multi.lock:
             if ks in self.multi.nodes:
                 return self.multi.nodes[ks]
-        row = self._conn().execute(
-            "SELECT data FROM nodes WHERE hash = ?", (ks,)
-        ).fetchone()
+        with self._conn_lock:
+            row = self._conn_obj.execute(
+                "SELECT data FROM nodes WHERE hash = ?", (ks,)
+            ).fetchone()
         if row is None:
             return None
         v = [int(x) for x in row[0].split(":")]
@@ -174,9 +173,10 @@ class Database:
         with self.multi.lock:
             if ks in self.multi.programs:
                 return self.multi.programs[ks]
-        row = self._conn().execute(
-            "SELECT data FROM programs WHERE hash = ?", (ks,)
-        ).fetchone()
+        with self._conn_lock:
+            row = self._conn_obj.execute(
+                "SELECT data FROM programs WHERE hash = ?", (ks,)
+            ).fetchone()
         return bytes(row[0]) if row else None
 
     def set_program(self, key: Tuple[int, ...], data: bytes,
@@ -194,16 +194,18 @@ class Database:
         """Drain the MultiWrite buffer into the backend; returns flush id."""
         nodes, programs = self.multi.drain()
         if nodes or programs:
-            c = self._conn()
-            c.executemany(
-                "INSERT OR REPLACE INTO nodes VALUES (?, ?)",
-                [(k, ":".join(str(x) for x in v)) for k, v in nodes.items()],
-            )
-            c.executemany(
-                "INSERT OR REPLACE INTO programs VALUES (?, ?)",
-                list(programs.items()),
-            )
-            c.commit()
+            with self._conn_lock:
+                c = self._conn_obj
+                c.executemany(
+                    "INSERT OR REPLACE INTO nodes VALUES (?, ?)",
+                    [(k, ":".join(str(x) for x in v))
+                     for k, v in nodes.items()],
+                )
+                c.executemany(
+                    "INSERT OR REPLACE INTO programs VALUES (?, ?)",
+                    list(programs.items()),
+                )
+                c.commit()
         with self._id_lock:
             self._flushed_id = self._pending_id
             return self._flushed_id
@@ -217,12 +219,7 @@ class Database:
         while not self._stop.is_set():
             self._flush_req.wait(timeout=0.05)
             self._flush_req.clear()
-            try:
-                self.flush()
-            except sqlite3.ProgrammingError:
-                # connection owned by another thread was closed; make ours
-                if hasattr(self._local, "conn"):
-                    del self._local.conn
+            self.flush()
         self.flush()
 
     def close(self):
