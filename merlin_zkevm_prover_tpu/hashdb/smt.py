@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+from .. import native
 from ..ops import poseidon_gl
 from ..ops.goldilocks import P
 
@@ -67,21 +68,21 @@ def join_key(bits: List[int], rkey) -> Tuple[int, int, int, int]:
 
 def _hash_branch(db, left, right):
     v = list(left) + list(right) + [0, 0, 0, 0]
-    h = tuple(poseidon_gl.permute_host(v)[:4])
+    h = tuple(native.poseidon_permute(v)[:4])
     db.write_node(h, v)
     return h
 
 
 def _hash_leaf(db, rkey, value_hash):
     v = list(rkey) + list(value_hash) + [1, 0, 0, 0]
-    h = tuple(poseidon_gl.permute_host(v)[:4])
+    h = tuple(native.poseidon_permute(v)[:4])
     db.write_node(h, v)
     return h
 
 
 def _hash_value(db, value: int):
     v = scalar2fea(value) + [0, 0, 0, 0]
-    h = tuple(poseidon_gl.permute_host(v)[:4])
+    h = tuple(native.poseidon_permute(v)[:4])
     db.write_node(h, v)
     return h
 

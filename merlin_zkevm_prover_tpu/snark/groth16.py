@@ -53,6 +53,121 @@ def _ints_to_limbs(vals: List[int]) -> jnp.ndarray:
     return bf.scalars_to_limbs([int(v) for v in vals])
 
 
+def _g1_table_from_affine(pairs):
+    import numpy as np
+
+    from . import curve as cv
+    from ..ops import bn254_field as bfld
+
+    n = len(pairs)
+    xs = bfld.from_int(bfld.FQ, [p[0] for p in pairs])
+    ys = bfld.from_int(bfld.FQ, [p[1] for p in pairs])
+    inf = jnp.asarray(
+        np.array([1 if (p[0] == 0 and p[1] == 0) else 0 for p in pairs],
+                 dtype=bool)
+    )
+    ones = bfld.mont_one(bfld.FQ, (n,))
+    zs = jnp.where(inf[..., None], bfld.zeros((n,)), ones)
+    return Point(xs, ys, zs)
+
+
+def _g2_table_from_affine(pairs):
+    import numpy as np
+
+    from .curve import Fq2El
+    from ..ops import bn254_field as bfld
+
+    n = len(pairs)
+
+    def comp(i, j):
+        return bfld.from_int(bfld.FQ, [p[i][j] for p in pairs])
+
+    inf = jnp.asarray(
+        np.array([1 if all(v == 0 for c in p for v in c) else 0
+                  for p in pairs], dtype=bool)
+    )
+    ones = bfld.mont_one(bfld.FQ, (n,))
+    zs = Fq2El(jnp.where(inf[..., None], bfld.zeros((n,)), ones),
+               bfld.zeros((n,)))
+    return Point(Fq2El(comp(0, 0), comp(0, 1)),
+                 Fq2El(comp(1, 0), comp(1, 1)), zs)
+
+
+def key_from_zkey(zk) -> "Groth16Key":
+    """snarkjs ZKeyData -> proving key (reference zkey_utils.cpp role)."""
+    import math
+
+    from .curve import F1, F2
+
+    def g1(p):
+        return curve.from_affine(F1, bf.from_int(bf.FQ, p[0]),
+                                 bf.from_int(bf.FQ, p[1]))
+
+    def g2(p):
+        return curve.from_affine(F2, curve.Fq2El(
+            bf.from_int(bf.FQ, p[0][0]), bf.from_int(bf.FQ, p[0][1])),
+            curve.Fq2El(bf.from_int(bf.FQ, p[1][0]),
+                        bf.from_int(bf.FQ, p[1][1])))
+
+    domain_bits = int(math.log2(zk.domain_size))
+    return Groth16Key(
+        n_vars=zk.n_vars, n_public=zk.n_public, domain_bits=domain_bits,
+        coefs=list(zk.coefs),
+        vk_alpha1=g1(zk.alpha1), vk_beta1=g1(zk.beta1),
+        vk_delta1=g1(zk.delta1), vk_beta2=g2(zk.beta2),
+        vk_delta2=g2(zk.delta2),
+        points_a=_g1_table_from_affine(zk.points_a),
+        points_b1=_g1_table_from_affine(zk.points_b1),
+        points_b2=_g2_table_from_affine(zk.points_b2),
+        points_c=_g1_table_from_affine(zk.points_c) if zk.points_c else None,
+        points_h=_g1_table_from_affine(zk.points_h),
+    )
+
+
+def key_to_zkey(key: Groth16Key):
+    """Export a proving key as snarkjs ZKeyData (dev-setup interop)."""
+    from .binfile import ZKeyData
+    from .curve import F1, F2
+
+    def aff1(p):
+        x, y, inf = curve.to_affine(F1, p)
+        if bool(np.asarray(inf).reshape(())):
+            return (0, 0)
+        return (int(F1.to_int(x)), int(F1.to_int(y)))
+
+    def aff2(p):
+        x, y, inf = curve.to_affine(F2, p)
+        if bool(np.asarray(inf).reshape(())):
+            return ((0, 0), (0, 0))
+        xi = F2.to_int(x)
+        yi = F2.to_int(y)
+        return ((int(xi[0]), int(xi[1])), (int(yi[0]), int(yi[1])))
+
+    def table1(pts):
+        if pts is None:
+            return []
+        n = jax.tree_util.tree_leaves(pts.x)[0].shape[0]
+        return [aff1(jax.tree_util.tree_map(lambda a: a[i], pts))
+                for i in range(n)]
+
+    def table2(pts):
+        n = jax.tree_util.tree_leaves(pts.x)[0].shape[0]
+        return [aff2(jax.tree_util.tree_map(lambda a: a[i], pts))
+                for i in range(n)]
+
+    return ZKeyData(
+        n_vars=key.n_vars, n_public=key.n_public,
+        domain_size=1 << key.domain_bits,
+        alpha1=aff1(key.vk_alpha1), beta1=aff1(key.vk_beta1),
+        delta1=aff1(key.vk_delta1), beta2=aff2(key.vk_beta2),
+        gamma2=aff2(curve.g2_generator()), delta2=aff2(key.vk_delta2),
+        ic=[], coefs=list(key.coefs),
+        points_a=table1(key.points_a), points_b1=table1(key.points_b1),
+        points_b2=table2(key.points_b2), points_c=table1(key.points_c),
+        points_h=table1(key.points_h),
+    )
+
+
 def build_abc(key: Groth16Key, witness: List[int]):
     """A/B evaluation vectors on the constraint domain (host scatter)."""
     n = 1 << key.domain_bits
