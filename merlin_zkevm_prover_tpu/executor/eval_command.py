@@ -213,6 +213,30 @@ def eval_function(ctx, tag: dict) -> int:
             raise ValueError("memAlignWR_W1 bad offset")
         return ((m1 & (MASK256 >> (8 * offset))) |
                 ((value << (8 * (32 - offset))) & MASK256))
+    if name == "eventLog":
+        # first param names the event (a free-form tag); remaining params
+        # are evaluated and forwarded to the tracer
+        ev = params[0] if params else {}
+        ev_name = ev.get("funcName") or ev.get("varName") or ev.get("op", "")
+        vals = []
+        for p in params[1:]:
+            try:
+                vals.append(eval_command(ctx, p))
+            except Exception:
+                vals.append(0)
+        if getattr(ctx, "tracer", None) is not None:
+            ctx.tracer.handle_event(ev_name, ctx, vals)
+        return 0
+    if name == "storeLog":
+        vals = []
+        for p in params:
+            try:
+                vals.append(eval_command(ctx, p))
+            except Exception:
+                vals.append(0)
+        if getattr(ctx, "tracer", None) is not None:
+            ctx.tracer.handle_store_log(ctx, vals)
+        return 0
     if name == "memAlignWR8_W0":
         m0 = pv(0)
         value = pv(1) & 0xFF

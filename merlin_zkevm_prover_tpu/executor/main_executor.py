@@ -127,6 +127,7 @@ class Context:
     required: Required = field(default_factory=Required)
     input_data: dict = field(default_factory=dict)
     trace: List[dict] = field(default_factory=list)
+    tracer: object = None
 
 
 def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
@@ -174,6 +175,11 @@ class MainExecutor:
                 record_trace: bool = False) -> Context:
         ctx = Context(rom=self.rom, hashdb=self.hashdb,
                       input_data=input_data or {})
+        if (input_data or {}).get("traceConfig", {}).get("enabled") or \
+                record_trace:
+            from .full_tracer import FullTracer
+
+            ctx.tracer = FullTracer()
         if "oldStateRoot" in ctx.input_data:
             ctx.SR = fea8(int(ctx.input_data["oldStateRoot"]))
         from .eval_command import eval_command  # cycle-free local import
@@ -190,6 +196,9 @@ class MainExecutor:
     # ------------------------------------------------------------------
     def _step(self, ctx: Context, line: RomLine, eval_command,
               record_trace: bool) -> bool:
+        if line.cmd_before:
+            for cmd in line.cmd_before:
+                eval_command(ctx, cmd)
         # ---- address computation ----
         addr_rel = 0
         addr = 0
@@ -394,6 +403,10 @@ class MainExecutor:
             ctx.RCX = (ctx.RCX - 1) % P
             if ctx.RCX != 0:
                 next_zkpc = ctx.zkPC
+
+        if line.cmd_after:
+            for cmd in line.cmd_after:
+                eval_command(ctx, cmd)
 
         # terminal condition: jump-to-self at the end label, or running off
         finished = (next_zkpc == ctx.zkPC and

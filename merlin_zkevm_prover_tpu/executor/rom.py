@@ -50,6 +50,8 @@ class RomLine:
     else_addr_label: str = ""
     bin_opcode: int = 0
     free_in_tag: Optional[dict] = None
+    cmd_before: Optional[list] = None
+    cmd_after: Optional[list] = None
     line_str: str = ""
     file_name: str = ""
     line_no: int = 0
@@ -114,6 +116,10 @@ def load_rom(source) -> Rom:
                 rl.bin_opcode = int(v)
             elif k == "freeInTag":
                 rl.free_in_tag = v
+            elif k == "cmdBefore":
+                rl.cmd_before = v
+            elif k == "cmdAfter":
+                rl.cmd_after = v
             elif k == "lineStr":
                 rl.line_str = v
             elif k == "fileName":

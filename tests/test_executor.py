@@ -205,3 +205,22 @@ def test_load_reference_rom():
     line0 = rom.lines[0]
     assert line0.ins.get("inSTEP") == 1
     assert line0.flag("setA") == 1
+
+
+def test_event_log_tracer():
+    ctx = run([
+        {"cmdBefore": [{"op": "functionCall", "funcName": "eventLog",
+                        "params": [{"op": "getVar",
+                                    "varName": "onProcessTx"}]}],
+         "CONST": "1", "setA": 1},
+        {"cmdAfter": [{"op": "functionCall", "funcName": "eventLog",
+                       "params": [{"op": "getVar", "varName": "onFinishTx"},
+                                  {"op": "number", "num": "21000"}]}],
+         "CONST": "2", "setB": 1},
+        halt(2),
+    ], input_data={"traceConfig": {"enabled": True}})
+    assert ctx.tracer is not None
+    trace = ctx.tracer.result()
+    assert len(trace.txs) == 1
+    assert trace.txs[0].gas_used == 21000
+    assert any(e["event"] == "onProcessTx" for e in trace.events)
