@@ -24,6 +24,7 @@ generator; shift = 49 = 7^2), matching `Goldilocks::w(nBits)` and
 from __future__ import annotations
 
 import functools
+import sys
 from typing import NamedTuple, Tuple, Union
 
 import jax
@@ -50,6 +51,10 @@ assert _W[0] == 1 and _W[1] == P - 1 and _W[2] == 1 << 48
 # `Goldilocks::shift()` in the reference.
 SHIFT = 49
 SHIFT_INV = pow(SHIFT, P - 2, P)
+
+# deep fused field-op graphs (unrolled Poseidon rounds, exp chains) exceed
+# the default interpreter recursion limit during tracing
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
 
 _U32 = jnp.uint32
 _MASK16 = np.uint32(0xFFFF)
