@@ -6,6 +6,7 @@ from .binary_executor import BinaryExecutor
 from .mem_align_executor import MemAlignExecutor
 from .memory_executor import MemoryExecutor
 from .poseidon_g_executor import PoseidonGExecutor
+from .storage_executor import StorageExecutor
 
 __all__ = [
     "ArithExecutor",
@@ -13,4 +14,5 @@ __all__ = [
     "MemAlignExecutor",
     "MemoryExecutor",
     "PoseidonGExecutor",
+    "StorageExecutor",
 ]

@@ -134,3 +134,31 @@ def test_full_executor_dispatch():
     assert res.sm_pols["memory"]["mOp"][0] == 1
     pb = ex.process_batch()
     assert pb.counters["cntBinary"] == 1
+
+
+def test_storage_executor_replay():
+    from merlin_zkevm_prover_tpu.executor.sm import StorageExecutor
+    from merlin_zkevm_prover_tpu.hashdb.hashdb import HashDB
+    from merlin_zkevm_prover_tpu.hashdb.smt import ZERO4
+
+    h = HashDB()
+    k1 = (5, 0, 0, 0)
+    k2 = (7, 1, 0, 0)
+    r1 = h.set("b", 0, ZERO4, k1, 111).new_root
+    r2 = h.set("b", 0, r1, k2, 222).new_root
+    actions = [
+        {"op": "set", "root": ZERO4, "key": k1, "value": 111, "newRoot": r1},
+        {"op": "set", "root": r1, "key": k2, "value": 222, "newRoot": r2},
+        {"op": "get", "root": r2, "key": k1, "value": 111},
+    ]
+    ex = StorageExecutor()
+    req_pg = []
+    pols = ex.execute(actions, 64, hashdb=h, required_poseidon=req_pg)
+    assert pols["latch"].sum() == 3
+    assert len(req_pg) >= 3
+    # corrupted root rejected
+    bad = [{"op": "get", "root": (1, 2, 3, 4), "key": k1, "value": 0}]
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, KeyError)):
+        ex.execute(bad, 64, hashdb=h)
