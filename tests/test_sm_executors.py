@@ -162,3 +162,24 @@ def test_storage_executor_replay():
 
     with _pytest.raises((ValueError, KeyError)):
         ex.execute(bad, 64, hashdb=h)
+
+
+def test_keccak_gate_script_matches_keccak_f():
+    from merlin_zkevm_prover_tpu.executor.sm.gate import evaluate
+    from merlin_zkevm_prover_tpu.executor.sm.keccak_f_script import (
+        bits_to_state,
+        build_keccak_f_program,
+        state_to_bits,
+    )
+    from merlin_zkevm_prover_tpu.utils.keccak import keccak_f
+
+    prog = build_keccak_f_program()
+    # gate count on the reference slot scale (155,286 rows per keccak-f)
+    assert 100_000 < len(prog.gates) < 200_000
+
+    rng = np.random.default_rng(0)
+    words = [int(x) for x in rng.integers(0, 1 << 63, 25, dtype=np.uint64)]
+    bits = state_to_bits(words)
+    out = evaluate(prog, bits)
+    got = bits_to_state(out)
+    assert got == keccak_f(list(words))
