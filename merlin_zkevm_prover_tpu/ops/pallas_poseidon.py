@@ -210,7 +210,7 @@ def _permute_kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _permute_pallas_fn(block: int):
+def _permute_pallas_fn(block: int, interpret: bool = False):
     def fn(lo, hi):
         n = lo.shape[1]
         grid = (n // block,)
@@ -221,6 +221,7 @@ def _permute_pallas_fn(block: int):
         return pl.pallas_call(
             _permute_kernel,
             grid=grid,
+            interpret=interpret,
             in_specs=[
                 pl.BlockSpec((N_ROUNDS, WIDTH), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -253,17 +254,21 @@ def _permute_pallas_fn(block: int):
     return jax.jit(traced)
 
 
-def permute_pallas(state: GL, block: int = 512) -> GL:
+def permute_pallas(state: GL, block: int = 512,
+                   interpret: bool = False) -> GL:
     """Poseidon permutation of a (12, B) GL state via the Pallas kernel.
 
-    B is padded to a multiple of `block` internally.
+    B is padded to a multiple of `block` internally.  `interpret=True`
+    runs the kernel in the Pallas interpreter (CPU) — used by the test
+    suite to pin the kernel semantics; Mosaic TPU compilation of the
+    rolled round loop is still experimental in this environment.
     """
     assert state.shape[0] == WIDTH
     n = state.shape[1]
     pad = (-n) % block
     lo = jnp.pad(state.lo, ((0, 0), (0, pad)))
     hi = jnp.pad(state.hi, ((0, 0), (0, pad)))
-    out_lo, out_hi = _permute_pallas_fn(block)(lo, hi)
+    out_lo, out_hi = _permute_pallas_fn(block, interpret)(lo, hi)
     return GL(out_lo[:, :n], out_hi[:, :n])
 
 
