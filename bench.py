@@ -29,7 +29,7 @@ def main():
     from merlin_zkevm_prover_tpu.ops import ntt as nttmod
     from merlin_zkevm_prover_tpu.ops import poseidon_gl
 
-    n_bits = int(os.environ.get("BENCH_NBITS", "18"))
+    n_bits = int(os.environ.get("BENCH_NBITS", "17"))
     cols = int(os.environ.get("BENCH_COLS", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     blowup_bits = 1
