@@ -23,11 +23,26 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; the env var alone is not enough — the config must
 # be updated after jax import to actually run tests on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compilation cache here — this environment runs tests
+# under different sandbox contexts whose detected CPU features differ, and
+# loading an AOT cache entry compiled under the other context segfaults
+# (XLA cpu_aot_loader machine-feature mismatch).
 # u64 fast path for field-op internals (see ops/goldilocks.py)
 jax.config.update("jax_enable_x64", True)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip @slow tests unless RUN_SLOW=1 (they add ~45 min of BN254
+    compile time; run them explicitly when touching the snark stack)."""
+    import pytest
+
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    marker = pytest.mark.skip(reason="slow test; set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(marker)
