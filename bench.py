@@ -47,7 +47,7 @@ def main():
 
     def commit(tr):
         lde = nttmod.extend_pol(tr, n_bits, n_bits + blowup_bits)
-        nodes = poseidon_gl.merkelize(lde)
+        nodes = poseidon_gl.merkelize_best(lde)
         return nodes[-1]
 
     fn = jax.jit(commit)

@@ -117,11 +117,37 @@ def _ntt_2d(a: GL, nbits: int, inverse: bool) -> GL:
     return x
 
 
+# TPU fast path: route large transforms to the Pallas VMEM-resident kernels
+# (ops/ntt_tpu.py); the jnp stages below remain the CPU/reference path and
+# the bit-exactness oracle.
+_TPU_MIN_ELEMS = 1 << 14
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_kernels():
+    try:
+        from . import ntt_tpu
+
+        if ntt_tpu.available():
+            return ntt_tpu
+    except Exception:  # pragma: no cover
+        pass
+    return None
+
+
+def _use_tpu(a2: GL) -> bool:
+    if a2.shape[0] * a2.shape[1] < _TPU_MIN_ELEMS or a2.shape[0] < 4:
+        return False
+    return _tpu_kernels() is not None
+
+
 def ntt(a: GL) -> GL:
     """Forward NTT over axis 0 (natural order in and out)."""
     a2, restore = _as_2d(a)
     nbits = int(a2.shape[0]).bit_length() - 1
     assert (1 << nbits) == a2.shape[0], "NTT size must be a power of two"
+    if _use_tpu(a2):
+        return restore(_tpu_kernels().ntt_tpu(a2))
     return restore(_ntt_2d(a2, nbits, inverse=False))
 
 
@@ -130,6 +156,8 @@ def intt(a: GL) -> GL:
     a2, restore = _as_2d(a)
     nbits = int(a2.shape[0]).bit_length() - 1
     assert (1 << nbits) == a2.shape[0]
+    if _use_tpu(a2):
+        return restore(_tpu_kernels().ntt_tpu(a2, inverse=True))
     return restore(_ntt_2d(a2, nbits, inverse=True))
 
 
@@ -160,6 +188,13 @@ def extend_pol(a: GL, n_bits: int, n_bits_ext: int, shift: int = SHIFT) -> GL:
     n, c = a2.shape
     assert n == 1 << n_bits
     next_ = 1 << n_bits_ext
+    if _use_tpu(a2):
+        out = _tpu_kernels().extend_pol_tpu(a2, n_bits, n_bits_ext, shift)
+        if a.lo.ndim == 1:
+            return out.reshape(next_)
+        if a.lo.ndim == 2:
+            return out
+        return out.reshape(next_, *a.shape[1:])
     coeffs = _ntt_2d(a2, n_bits, inverse=True)
     coeffs = coset_scale(coeffs, shift)
     padded = GL(

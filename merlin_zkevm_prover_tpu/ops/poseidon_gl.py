@@ -213,8 +213,38 @@ def merkelize(source: GL) -> GL:
 linear_hash_jit = jax.jit(linear_hash)
 merkle_nodes_jit = jax.jit(merkle_nodes)
 
+# TPU fast path: large trees route to the Pallas kernels
+# (ops/poseidon_tpu.py); the jnp path stays as CPU/oracle.
+_TPU_MIN_ROWS = 1 << 12
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_kernels():
+    try:
+        from . import poseidon_tpu
+
+        if poseidon_tpu.available():
+            return poseidon_tpu
+    except Exception:  # pragma: no cover
+        pass
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _merkelize_tpu_jit():
+    return jax.jit(_tpu_kernels().merkelize_tpu)
+
+
+def merkelize_best(source: GL) -> GL:
+    """Dispatching merkelize, safe to call inside an enclosing jit."""
+    if source.shape[0] >= _TPU_MIN_ROWS and _tpu_kernels() is not None:
+        return _tpu_kernels().merkelize_tpu(source)
+    return merkelize(source)
+
 
 def merkelize_cached(source: GL) -> GL:
+    if source.shape[0] >= _TPU_MIN_ROWS and _tpu_kernels() is not None:
+        return _merkelize_tpu_jit()(source)
     leaves = linear_hash_jit(source)
     upper = merkle_nodes_jit(leaves)
     return gl.concat([leaves, upper], axis=0)
