@@ -79,6 +79,10 @@ class CiCtx:
     num_id: int
     den_id: int
     z_id: int
+    # partial-product im pol ids (wide connections chain the 2k-factor
+    # product through committed ims so every constraint stays low-degree;
+    # pil-stark's imPols do the same job)
+    im_ids: List[int] = field(default_factory=list)
 
 
 @dataclass
@@ -321,18 +325,43 @@ def compile_air(
         num_id, den_id = add_z_argument("perm", pi, num_e, den_e)
         pe_ctx.append(PeCtx(num_id, den_id, -1))
 
+    conn_chain_constraints: List[Expr] = []
+
+    def _chain_product(factors: List[Expr], ci: int, tag: str,
+                       im_ids: List[int]) -> int:
+        """Materialize prod(factors) through chained cm3 im pols so each
+        defining constraint stays degree <= 2 (+1 for the cm itself)."""
+        prefix_e = factors[0] if len(factors) == 1 else factors[0] * factors[1]
+        imid = add_cm(3, "cm3_n", 3, f"conn{ci}.{tag}.im0")
+        step3prev.append((("cm", imid), prefix_e))
+        conn_chain_constraints.append(Expr("cm", id=imid) - prefix_e)
+        im_ids.append(imid)
+        prev = imid
+        for k, f in enumerate(factors[2:], start=1):
+            prefix_e = prefix_e * f
+            imid = add_cm(3, "cm3_n", 3, f"conn{ci}.{tag}.im{k}")
+            step3prev.append((("cm", imid), prefix_e))
+            conn_chain_constraints.append(
+                Expr("cm", id=imid) - Expr("cm", id=prev) * f
+            )
+            im_ids.append(imid)
+            prev = imid
+        return prev
+
     for ci, cn in enumerate(air.connections):
         x = Expr("x")
-        num_e = None
-        den_e = None
+        nfs: List[Expr] = []
+        dfs: List[Expr] = []
         for j, (w, s) in enumerate(zip(cn.cols, cn.s_cols)):
             kj = pow(7, j, P)
-            nf = w + beta * (x if j == 0 else Expr("number", value=kj) * x) + gamma
-            df = w + beta * s + gamma
-            num_e = nf if num_e is None else num_e * nf
-            den_e = df if den_e is None else den_e * df
-        num_id, den_id = add_z_argument("conn", ci, num_e, den_e)
-        ci_ctx.append(CiCtx(num_id, den_id, -1))
+            nfs.append(
+                w + beta * (x if j == 0 else Expr("number", value=kj) * x) + gamma
+            )
+            dfs.append(w + beta * s + gamma)
+        im_ids: List[int] = []
+        num_id = _chain_product(nfs, ci, "num", im_ids)
+        den_id = _chain_product(dfs, ci, "den", im_ids)
+        ci_ctx.append(CiCtx(num_id, den_id, -1, im_ids))
 
     # z columns (after all num/den so cm3 layout is [nums/dens..., zs...])
     for li, pu in enumerate(pu_ctx):
@@ -350,11 +379,14 @@ def compile_air(
             den = Expr("cm", id=c.den_id)
             constraints.append(l1 * (z - 1))
             constraints.append(rotate(z) * den - z * num)
+            if kind == "conn":
+                continue  # im definitions covered by the chain constraints
             # im definitions: committed num/den must equal their expressions
             num_e = next(e for (d, e) in step3prev if d == ("cm", c.num_id))
             den_e = next(e for (d, e) in step3prev if d == ("cm", c.den_id))
             constraints.append(num - num_e)
             constraints.append(den - den_e)
+    constraints.extend(conn_chain_constraints)
 
     if not constraints:
         raise ValueError("AIR has no constraints")

@@ -98,15 +98,18 @@ def step3_compute(info: StarkInfo, sections: Dict[str, GL], const_n: GL,
     ctx = EvalContext(info=info, domain="n", sections=sections, const=const_n,
                       challenges=challenges, publics=publics, x=x_n)
     numden = eval_program(info.step3prev, ctx)
+
+    def _as3(v):
+        return v if isinstance(v, GL3) else gl3.from_base(v)
+
     cm3_cols: Dict[int, object] = {}
     for ctxs in (info.pu_ctx, info.pe_ctx, info.ci_ctx):
         for c in ctxs:
-            num = numden[("cm", c.num_id)]
-            den = numden[("cm", c.den_id)]
-            if not isinstance(num, GL3):
-                num = gl3.from_base(num)
-            if not isinstance(den, GL3):
-                den = gl3.from_base(den)
+            num = _as3(numden[("cm", c.num_id)])
+            den = _as3(numden[("cm", c.den_id)])
+            # wide-connection partial products (compiler CiCtx.im_ids)
+            for imid in getattr(c, "im_ids", []):
+                cm3_cols[imid] = _as3(numden[("cm", imid)])
             cm3_cols[c.num_id] = num
             cm3_cols[c.den_id] = den
             cm3_cols[c.z_id] = calculate_z(num, den)
