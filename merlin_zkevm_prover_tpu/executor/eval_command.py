@@ -167,11 +167,17 @@ def eval_function(ctx, tag: dict) -> int:
         # left-aligned 256-bit word
         return int.from_bytes(chunk, "big") << (8 * (32 - length))
     if name == "beforeLast":
-        # 0 while more steps remain; the fast executor has no lookahead,
-        # return -1-equivalent (p-1 window) once input consumed
-        return 0
+        # reference eval_beforeLast (eval_command.cpp:1544-1571): fea with
+        # fea0 = -1 while step < N-2, then 0.  Fast mode (ctx.N == 0)
+        # returns 0 immediately so the ROM's padding spin ends.
+        if ctx.N and ctx.counters.steps < ctx.N - 2:
+            return [P - 1, 0, 0, 0, 0, 0, 0, 0]
+        return [0] * 8
     if name == "cond":
-        return (MASK256 if pv(0) != 0 else 0)
+        # reference eval_cond: fea0 = -1 (field) if param != 0 else 0
+        if pv(0) != 0:
+            return [P - 1, 0, 0, 0, 0, 0, 0, 0]
+        return [0] * 8
     if name == "inverseFpEc":
         return pow(pv(0), FPEC - 2, FPEC)
     if name == "inverseFnEc":

@@ -128,6 +128,9 @@ class Context:
     input_data: dict = field(default_factory=dict)
     trace: List[dict] = field(default_factory=list)
     tracer: object = None
+    # trace length for beforeLast(); fast mode leaves it at 0 so the ROM's
+    # final padding spin exits immediately instead of burning N steps
+    N: int = 0
 
 
 def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
@@ -331,8 +334,14 @@ class MainExecutor:
             self._binary(ctx, line, op)
 
         # ---- arith ----
-        if line.flag("arith") or line.flag("arithEq0"):
+        if line.flag("arithEq0") or line.flag("arithEq1") or \
+                line.flag("arithEq2") or line.flag("arith"):
             self._arith(ctx, line, op)
+
+        # ---- memAlign ----
+        if line.flag("memAlignRD") or line.flag("memAlignWR") or \
+                line.flag("memAlignWR8"):
+            self._mem_align(ctx, line, op)
 
         # ---- setters ----
         if line.flag("setA"):
@@ -540,17 +549,112 @@ class MainExecutor:
         ctx.HASHPOS = pos + size
 
     def _arith(self, ctx: Context, line: RomLine, op: List[int]):
-        a = fea2scalar(ctx.A)
-        b = fea2scalar(ctx.B)
-        c = fea2scalar(ctx.C)
-        d = fea2scalar(ctx.D)
-        o = fea2scalar(op)
-        # base equation: A*B + C = D*2^256 + op
-        if (a * b + c) != (d << 256) + o:
+        """Arith instruction (reference main_executor.cpp:2697-2900):
+        eq0: A*B + C = D*2^256 + op over scalars; eq1/eq2: secp256k1 EC
+        point add (A,B)+(C,D)=(E,op) / double (A,B)*2=(E,op)."""
+        from .eval_command import FPEC
+
+        eq0 = line.flag("arithEq0")
+        eq1 = line.flag("arithEq1")
+        eq2 = line.flag("arithEq2")
+        if eq0 and not eq1 and not eq2:
+            a = fea2scalar(ctx.A)
+            b = fea2scalar(ctx.B)
+            c = fea2scalar(ctx.C)
+            d = fea2scalar(ctx.D)
+            o = fea2scalar(op)
+            if (a * b + c) != (d << 256) + o:
+                raise ExecutorError(
+                    "ARITH", f"arith check failed at zkPC={ctx.zkPC}"
+                )
+            ctx.counters.arith += 1
+            ctx.required.arith.append(
+                {"x1": a, "y1": b, "x2": c, "y2": d, "x3": 0, "y3": o,
+                 "selEq0": 1, "selEq1": 0, "selEq2": 0, "selEq3": 0}
+            )
+            return
+        # EC add (eq1) or double (eq2)
+        dbl = bool(eq2)
+        x1 = fea2scalar(ctx.A)
+        y1 = fea2scalar(ctx.B)
+        x2 = x1 if dbl else fea2scalar(ctx.C)
+        y2 = y1 if dbl else fea2scalar(ctx.D)
+        x3 = fea2scalar(ctx.E)
+        y3 = fea2scalar(op)
+        if dbl:
+            if y1 % FPEC == 0:
+                raise ExecutorError("ARITH", "EC double of point at infinity")
+            lam = 3 * x1 * x1 % FPEC * pow(2 * y1 % FPEC, FPEC - 2, FPEC) % FPEC
+        else:
+            dx = (x2 - x1) % FPEC
+            if dx == 0:
+                raise ExecutorError("ARITH", "EC add with x1 == x2")
+            lam = (y2 - y1) % FPEC * pow(dx, FPEC - 2, FPEC) % FPEC
+        ex3 = (lam * lam - x1 - x2) % FPEC
+        ey3 = (lam * (x1 - ex3) - y1) % FPEC
+        if x3 != ex3 or y3 != ey3:
             raise ExecutorError(
-                "ARITH", f"arith check failed at zkPC={ctx.zkPC}"
+                "ARITH", f"EC {'dbl' if dbl else 'add'} mismatch at "
+                         f"zkPC={ctx.zkPC}"
             )
         ctx.counters.arith += 1
         ctx.required.arith.append(
-            {"x1": a, "y1": b, "x2": c, "y2": d, "x3": 0, "y3": o, "eq": 0}
+            {"x1": x1, "y1": y1, "x2": x2, "y2": y2, "x3": x3, "y3": y3,
+             "selEq0": 0, "selEq1": 0 if dbl else 1, "selEq2": 1 if dbl else 0,
+             "selEq3": 1}
         )
+
+    def _mem_align(self, ctx: Context, line: RomLine, op: List[int]):
+        """memAlignRD/WR/WR8 (reference main_executor.cpp:3327-3500)."""
+        m0 = fea2scalar(ctx.A)
+        m1 = fea2scalar(ctx.B)
+        v = fea2scalar(op)
+        offset = fea2scalar(ctx.C)
+        if offset < 0 or offset > 32:
+            raise ExecutorError("MEMALIGN", f"offset out of range {offset}")
+        if line.flag("memAlignWR") and not line.flag("memAlignRD") and \
+                not line.flag("memAlignWR8"):
+            w0 = fea2scalar(ctx.D)
+            w1 = fea2scalar(ctx.E)
+            exp_w0 = (m0 & ((1 << 256) - (1 << (256 - offset * 8)))) | \
+                (v >> (offset * 8)) if offset else v
+            exp_w1 = ((m1 & (MASK256 >> (offset * 8))) |
+                      ((v << (256 - offset * 8)) & MASK256)) if offset else m1
+            if w0 != exp_w0 or w1 != exp_w1:
+                raise ExecutorError(
+                    "MEMALIGN", f"WR mismatch at zkPC={ctx.zkPC}")
+            ctx.required.mem_align.append(
+                {"m0": m0, "m1": m1, "w0": w0, "w1": w1, "v": v,
+                 "offset": offset, "wr256": 1, "wr8": 0}
+            )
+        elif line.flag("memAlignWR8") and not line.flag("memAlignRD") and \
+                not line.flag("memAlignWR"):
+            w0 = fea2scalar(ctx.D)
+            byte_mask_on_256 = int(
+                "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF"
+                "FFFF00FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF"
+                "FFFFFFFF", 16)
+            exp_w0 = (m0 & (byte_mask_on_256 >> (offset * 8))) | \
+                ((v & 0xFF) << ((31 - offset) * 8))
+            if w0 != exp_w0:
+                raise ExecutorError(
+                    "MEMALIGN", f"WR8 mismatch at zkPC={ctx.zkPC}")
+            ctx.required.mem_align.append(
+                {"m0": m0, "m1": 0, "w0": w0, "w1": 0, "v": v,
+                 "offset": offset, "wr256": 0, "wr8": 1}
+            )
+        elif line.flag("memAlignRD") and not line.flag("memAlignWR") and \
+                not line.flag("memAlignWR8"):
+            left_v = (m0 << (offset * 8)) & MASK256
+            right_v = (m1 >> (256 - offset * 8)) & \
+                (MASK256 >> (256 - offset * 8)) if offset else 0
+            if v != (left_v | right_v):
+                raise ExecutorError(
+                    "MEMALIGN", f"RD mismatch at zkPC={ctx.zkPC}")
+            ctx.required.mem_align.append(
+                {"m0": m0, "m1": m1, "w0": 0, "w1": 0, "v": v,
+                 "offset": offset, "wr256": 0, "wr8": 0}
+            )
+        else:
+            raise ExecutorError("MEMALIGN", "invalid memAlign operation")
+        ctx.counters.mem_align += 1
