@@ -47,7 +47,10 @@ def build_backend(config: Config) -> StarkCircuitBackend:
     def trace_builder(input_data, exec_result):
         return default_trace, None
 
-    return StarkCircuitBackend(info, sprover, trace_builder, executor)
+    return StarkCircuitBackend(
+        info, sprover, trace_builder, executor,
+        recursion_mode=getattr(config, "recursionMode", "full"),
+    )
 
 
 def main(argv=None) -> int:

@@ -1,12 +1,24 @@
 """Proving backends: circuits plugged into the Prover orchestration.
 
-`StarkCircuitBackend` drives the real pipeline end to end: run the zkASM
+`StarkCircuitBackend` drives the pipeline end to end: run the zkASM
 executor on the batch input, assemble the stage-1 trace, STARK-prove it,
-self-verify, and emit the proof + publics JSON.  Aggregation emits a
-publics-chained composite (the recursion compression circuits — the
-reference's circom->c12a->recursive1/2 chain — are the scheduled next
-framework stage); the final stage wraps with the BN254 Groth16 prover
-when a proving key is configured.
+self-verify, and emit proof + publics JSON.
+
+Recursion (reference chain zkEVM STARK -> c12a -> recursive1 ->(x2)->
+recursive2 -> recursiveF -> Groth16, prover.cpp:394-949):
+
+  * mode "full" (production): every stage is a real proof —
+      - gen_batch_proof wraps the batch STARK in a recursive1 plonk12c
+        proof (recursion/recursive.py), so all batch outputs share one
+        shape;
+      - gen_aggregated_proof proves a circuit verifying BOTH child
+        recursive1 proofs (recursive2 role);
+      - gen_final_proof proves the aggregate's verifier with BN254
+        commitments (recursiveF, stark/prover_bn128.py) and wraps THAT
+        verifier as a Groth16 SNARK over BN254
+        (recursion/final.py) — tampering any child invalidates the chain.
+  * mode "composite" (dev/loopback): aggregation is verified-then-joined
+    JSON, no compression proofs — used by fast service tests only.
 """
 
 from __future__ import annotations
@@ -34,12 +46,21 @@ class StarkCircuitBackend(ProvingBackend):
     def __init__(self, info: StarkInfo, prover: StarkProver,
                  trace_builder: Callable,
                  executor: Optional[Executor] = None,
-                 groth16_key=None):
+                 recursion_mode: str = "full",
+                 rec_queries: int = 2, rec_fold_bits: int = 3,
+                 rec_final_bits: int = 4):
         self.info = info
         self.stark_prover = prover
         self.trace_builder = trace_builder
         self.executor = executor
-        self.groth16_key = groth16_key
+        assert recursion_mode in ("full", "composite")
+        self.recursion_mode = recursion_mode
+        self._rp = dict(n_queries=rec_queries, fri_fold_bits=rec_fold_bits,
+                        final_bits=rec_final_bits)
+        self._rec1 = None   # RecursiveStage: batch -> recursive1
+        self._rec2 = None   # RecursiveStage: (rec1, rec1) -> recursive2
+        self._recf = None   # (info, prover) for the BN128-committed stage
+        self._final = None  # FinalStage (Groth16)
 
     # ------------------------------------------------------------------
     def process_batch(self, input_data: dict) -> dict:
@@ -65,41 +86,144 @@ class StarkCircuitBackend(ProvingBackend):
         out = {
             "type": "batch",
             "circuit": self.info.name,
-            "proof": json.loads(proof.to_json()),
             "publics": {str(i): int(p) for i, p in enumerate(publics)},
         }
+        if self.recursion_mode == "full":
+            rec1 = self._rec1_stage()
+            p1 = rec1.prove([(self.info,
+                              self.stark_prover.const_tree.root(), proof)])
+            verify(rec1.info, rec1.const_root(), p1)
+            out["proof"] = json.loads(p1.to_json())
+            out["stage"] = "recursive1"
+        else:
+            out["proof"] = json.loads(proof.to_json())
+            out["stage"] = "stark"
         if exec_result is not None:
             out["counters"] = exec_result.ctx.counters.as_dict()
         return out
 
     def gen_aggregated_proof(self, proof1: dict, proof2: dict) -> dict:
-        # verify both children before aggregating
+        if self.recursion_mode == "composite":
+            for p in (proof1, proof2):
+                self._verify_composite(p)
+            return {
+                "type": "aggregated",
+                "circuit": self.info.name,
+                "children": [proof1, proof2],
+                "publics": self._join_publics(proof1, proof2),
+            }
+        rec1 = self._rec1_stage()
+        kids = []
         for p in (proof1, proof2):
-            self._verify_composite(p)
+            assert p.get("stage") == "recursive1", \
+                "full mode aggregates recursive1 proofs"
+            sp = StarkProof.from_json(json.dumps(p["proof"]))
+            verify(rec1.info, rec1.const_root(), sp)
+            kids.append(sp)
+        rec2 = self._rec2_stage()
+        p2 = rec2.prove([(rec1.info, rec1.const_root(), kids[0]),
+                         (rec1.info, rec1.const_root(), kids[1])])
+        verify(rec2.info, rec2.const_root(), p2)
         return {
             "type": "aggregated",
+            "stage": "recursive2",
             "circuit": self.info.name,
-            "children": [proof1, proof2],
+            "proof": json.loads(p2.to_json()),
             "publics": self._join_publics(proof1, proof2),
         }
 
     def gen_final_proof(self, proof: dict) -> dict:
-        self._verify_composite(proof)
-        out = {
+        if self.recursion_mode == "composite":
+            self._verify_composite(proof)
+            return {
+                "type": "final",
+                "circuit": self.info.name,
+                "aggregated": proof,
+                "publics": proof.get("publics", {}),
+            }
+        from ..recursion.recursive import build_verifier_circuit
+        from ..recursion.plonk import circuit_to_air, fill_trace, plan_layout
+        from ..stark.compiler import compile_air
+        from ..stark.prover_bn128 import (
+            MerkleTreeBN128GL,
+            StarkProverBN128,
+            TranscriptBN128Adapter,
+        )
+        from ..recursion.final import FinalStage
+        from ..models.smoke import smoke_const_values
+
+        # which inner stage produced this proof?
+        if proof.get("stage") == "recursive2":
+            inner_stage = self._rec2_stage()
+        elif proof.get("stage") == "recursive1":
+            inner_stage = self._rec1_stage()
+        else:
+            raise ValueError("full mode finalizes recursive proofs")
+        sp = StarkProof.from_json(json.dumps(proof["proof"]))
+        verify(inner_stage.info, inner_stage.const_root(), sp)
+
+        # recursiveF: BN254-committed STARK of the verifier circuit
+        c = build_verifier_circuit(
+            [(inner_stage.info, inner_stage.const_root(), sp)]
+        )
+        if self._recf is None:
+            air, trace, lay = circuit_to_air(c, "recursiveF")
+            info_f = compile_air(air, **{
+                "n_queries": self._rp["n_queries"],
+                "fri_fold_bits": self._rp["fri_fold_bits"],
+                "final_bits": self._rp["final_bits"],
+            })
+            prover_f = StarkProverBN128(info_f, smoke_const_values(air))
+            self._recf = (info_f, prover_f, lay)
+        else:
+            info_f, prover_f, lay = self._recf
+            trace = fill_trace(c, lay)
+        pf = prover_f.prove(trace)
+        verify(info_f, prover_f.const_tree.root(), pf,
+               tree_cls=MerkleTreeBN128GL,
+               transcript_cls=TranscriptBN128Adapter)
+
+        if self._final is None:
+            self._final = FinalStage(info_f,
+                                     prover_f.const_tree.root()[0])
+        g16 = self._final.prove(pf)
+        return {
             "type": "final",
+            "stage": "groth16",
             "circuit": self.info.name,
-            "aggregated": proof,
             "publics": proof.get("publics", {}),
+            "recursiveF": json.loads(pf.to_json()),
+            "groth16": {
+                "pi_a": [str(v) for v in g16["pi_a"]],
+                "pi_b": [[str(v) for v in r] for r in g16["pi_b"]],
+                "pi_c": [str(v) for v in g16["pi_c"]],
+                "publics": [str(v) for v in g16["publics"]],
+            },
         }
-        if self.groth16_key is not None:
-            out["groth16"] = self._groth16_wrap(proof)
-        return out
 
     # ------------------------------------------------------------------
+    def _rec1_stage(self):
+        from ..recursion.recursive import RecursiveStage
+
+        if self._rec1 is None:
+            self._rec1 = RecursiveStage("recursive1", **self._rp)
+        return self._rec1
+
+    def _rec2_stage(self):
+        from ..recursion.recursive import RecursiveStage
+
+        if self._rec2 is None:
+            self._rec2 = RecursiveStage("recursive2", **self._rp)
+        return self._rec2
+
     def _verify_composite(self, p: dict):
         if p["type"] == "batch":
             sp = StarkProof.from_json(json.dumps(p["proof"]))
-            verify(self.info, self.stark_prover.const_tree.root(), sp)
+            if p.get("stage") == "recursive1":
+                rec1 = self._rec1_stage()
+                verify(rec1.info, rec1.const_root(), sp)
+            else:
+                verify(self.info, self.stark_prover.const_tree.root(), sp)
         elif p["type"] in ("aggregated", "final"):
             for child in p.get("children", []) or [p.get("aggregated")]:
                 if child:
@@ -114,18 +238,3 @@ class StarkCircuitBackend(ProvingBackend):
             pub.setdefault(k, v)
         pub["aggregated"] = True
         return pub
-
-    def _groth16_wrap(self, proof: dict) -> dict:
-        from ..snark import groth16
-
-        # binding statement: public input = composite publics digest mod r
-        from ..ops.bn254_field import FR
-        from ..utils.keccak import keccak256
-
-        digest = int.from_bytes(
-            keccak256(json.dumps(proof.get("publics", {}),
-                                 sort_keys=True).encode()), "big"
-        ) % FR.mod
-        key, builder = self.groth16_key
-        witness = builder(digest)
-        return groth16.prove(key, witness)

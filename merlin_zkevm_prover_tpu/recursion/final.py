@@ -1,0 +1,44 @@
+"""Final SNARK stage: Groth16 over the recursiveF verifier R1CS.
+
+Reference flow (prover.cpp:788-949): recursiveF STARK -> circom final
+witness -> rapidsnark Groth16.  Here: StarkProverBN128 proof ->
+build_final_r1cs (recursion/final_circuit.py) -> snark/setup + groth16.
+
+The Groth16 proving key depends only on the R1CS shape, which depends only
+on the recursiveF StarkInfo — one setup serves every final proof.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..snark import groth16
+from ..snark.setup import setup
+from ..stark.compiler import StarkInfo
+from ..stark.proof import StarkProof
+from .final_circuit import build_final_r1cs
+
+
+class FinalStage:
+    """Reusable Groth16 context for one recursiveF circuit shape."""
+
+    def __init__(self, info: StarkInfo, const_root_fr: int,
+                 setup_seed: int = 1234):
+        self.info = info
+        self.const_root_fr = int(const_root_fr)
+        self.setup_seed = setup_seed
+        self.key = None
+        self.toxic = None
+
+    def prove(self, proof: StarkProof) -> Dict:
+        """Returns the Groth16 proof dict {pi_a, pi_b, pi_c, publics}."""
+        r1cs, witness = build_final_r1cs(self.info, self.const_root_fr,
+                                         proof)
+        if self.key is None:
+            self.key, self.toxic = setup(r1cs, seed=self.setup_seed)
+        else:
+            assert self.key.n_vars == r1cs.n_vars, \
+                "R1CS shape changed across proofs"
+        g16 = groth16.prove(self.key, witness)
+        g16["publics"] = witness[1: r1cs.n_public + 1]
+        return g16

@@ -104,6 +104,7 @@ def fri_prove(
     fri_pol: GL3,
     step_bits: List[int],
     shift_inv: int = None,
+    tree_cls=MerkleTreeGL,
 ) -> Tuple[List[MerkleTreeGL], np.ndarray, List[int]]:
     """Run the FRI fold/commit phase.
 
@@ -131,7 +132,7 @@ def fri_prove(
 
         if si < len(step_bits) - 1:
             src = group_source(pol, step_bits[si + 1])
-            tree = MerkleTreeGL(src)
+            tree = tree_cls(src)
             tree.merkelize()
             trees[si + 1] = tree
             transcript.put(tree.root())

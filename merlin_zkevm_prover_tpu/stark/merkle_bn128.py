@@ -53,7 +53,9 @@ class MerkleTreeBN128:
         return self.levels[-1][0] if self.leaves else 0
 
     def get_group_proof(self, idx: int) -> Tuple[List[int], List[List[int]]]:
-        """(row values, sibling groups per level (15 siblings each))."""
+        """(row values, FULL 16-child groups per level — own child included;
+        the verifier checks group[pos] equals the recomputed digest).  Full
+        groups keep the in-circuit verifier free of dynamic insertion."""
         row = list(self.rows[idx])
         siblings = []
         i = idx
@@ -63,8 +65,7 @@ class MerkleTreeBN128:
                 level[j] if j < len(level) else 0
                 for j in range(base, base + ARITY)
             ]
-            siblings.append([v for k, v in enumerate(group)
-                             if base + k != i])
+            siblings.append(group)
             i //= ARITY
         return row, siblings
 
@@ -73,10 +74,11 @@ class MerkleTreeBN128:
                      siblings: List[List[int]]) -> bool:
         h = poseidon_bn254.linear_hash(pack_row(row))
         i = idx
-        for sibs in siblings:
+        for group in siblings:
             pos = i % ARITY
-            group = list(sibs[:pos]) + [h] + list(sibs[pos:])
-            h = poseidon_bn128_node(group)
+            if group[pos] != h:
+                return False
+            h = poseidon_bn128_node(list(group))
             i //= ARITY
         return h == root
 

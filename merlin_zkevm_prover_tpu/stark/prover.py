@@ -53,7 +53,17 @@ def _challenges_gl3(ch: List[Optional[List[int]]]) -> GL3:
 
 class StarkProver:
     """Preprocessed proving context for one circuit: const pols, const tree,
-    domain tables, and jitted device stages."""
+    domain tables, and jitted device stages.
+
+    `tree_cls` / `transcript_cls` parameterize the hash/commitment scheme:
+    the default is the Poseidon-GL binary tree + GL sponge transcript
+    (reference Starks); stark/prover_bn128.StarkProverBN128 swaps in the
+    arity-16 Poseidon-BN254 tree + Fr transcript (reference
+    StarkRecursiveF, starkRecursiveF.cpp:194-383).
+    """
+
+    tree_cls = MerkleTreeGL
+    transcript_cls = Transcript
 
     def __init__(self, info: StarkInfo, const_values: np.ndarray):
         self.info = info
@@ -66,7 +76,7 @@ class StarkProver:
             )
         else:
             self.const_2ns = gl.zeros((n_ext, 0))
-        self.const_tree = MerkleTreeGL(self.const_2ns)
+        self.const_tree = self.tree_cls(self.const_2ns)
         self.const_tree.merkelize()
 
         self.x_n = gl.from_u64(gl.powers_np(gl.w(info.n_bits), n))
@@ -107,7 +117,7 @@ class StarkProver:
         assert publics.shape == (info.n_publics,)
         publics_dev = gl.from_u64(publics)
 
-        transcript = Transcript()
+        transcript = self.transcript_cls()
         transcript.put([int(x) for x in publics])
         challenges: List[Optional[List[int]]] = [None] * 8
 
@@ -117,7 +127,7 @@ class StarkProver:
         def commit(name: str, section_n: GL):
             lde = self._extend(section_n)
             sections[f"{name}_2ns"] = lde
-            tree = MerkleTreeGL(lde)
+            tree = self.tree_cls(lde)
             tree.merkelize()
             trees[name.replace("_n", "")] = tree
             return tree
@@ -168,7 +178,7 @@ class StarkProver:
             cm4 = self._step4(ext_sections, self.const_2ns, ch_dev,
                               publics_dev, self.x_2ns, self.zi)
             sections["cm4_2ns"] = cm4
-            tree = MerkleTreeGL(cm4)
+            tree = self.tree_cls(cm4)
             tree.merkelize()
             trees["cm4"] = tree
             transcript.put(tree.root())
@@ -193,7 +203,8 @@ class StarkProver:
         # ---- FRI ----
         with tlog.span("STARK_FRI"):
             fri_trees, final_pol, _ = fri_prove(
-                transcript, f_val, info.fri_step_bits
+                transcript, f_val, info.fri_step_bits,
+                tree_cls=self.tree_cls,
             )
             ys = transcript.get_permutations(
                 info.n_queries, info.fri_step_bits[0]

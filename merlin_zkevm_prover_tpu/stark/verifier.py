@@ -29,8 +29,14 @@ class VerifyError(Exception):
 
 
 def verify(info: StarkInfo, const_root: List[int], proof: StarkProof,
-           publics: Optional[List[int]] = None) -> bool:
-    """Full verification; raises VerifyError with a reason on failure."""
+           publics: Optional[List[int]] = None,
+           tree_cls=MerkleTreeGL, transcript_cls=Transcript) -> bool:
+    """Full verification; raises VerifyError with a reason on failure.
+
+    tree_cls/transcript_cls parameterize the commitment scheme exactly as
+    in StarkProver — pass the BN128 pair to verify a recursiveF-style
+    proof (stark/prover_bn128.py).
+    """
     if publics is None:
         publics = proof.publics
     if len(publics) != info.n_publics:
@@ -40,7 +46,7 @@ def verify(info: StarkInfo, const_root: List[int], proof: StarkProof,
     n_ext = info.n_ext
 
     # ---- transcript replay ----
-    t = Transcript()
+    t = transcript_cls()
     t.put(publics)
     challenges: List[Optional[List[int]]] = [None] * 8
     t.put(proof.roots[0])
@@ -111,7 +117,7 @@ def verify(info: StarkInfo, const_root: List[int], proof: StarkProof,
         openings = proof.queries_step0[qi]
         for name, root in roots.items():
             op = openings[name]
-            if not MerkleTreeGL.verify_proof(root, y0, op.values, op.siblings):
+            if not tree_cls.verify_proof(root, y0, op.values, op.siblings):
                 raise VerifyError(f"Merkle proof failed: tree {name} query {qi}")
 
         # value of every evMap polynomial at this row
@@ -145,7 +151,7 @@ def verify(info: StarkInfo, const_root: List[int], proof: StarkProof,
             y_next = cur_y % (1 << bits)
             j = cur_y >> bits
             opening = proof.queries_fri[si - 1][qi]
-            if not MerkleTreeGL.verify_proof(
+            if not tree_cls.verify_proof(
                 proof.fri_roots[si - 1], y_next, opening.values, opening.siblings
             ):
                 raise VerifyError(f"FRI Merkle proof failed: step {si} query {qi}")

@@ -31,7 +31,8 @@ def smoke_backend():
     def trace_builder(input_data, exec_result):
         return trace, None
 
-    return StarkCircuitBackend(info, prover, trace_builder)
+    return StarkCircuitBackend(info, prover, trace_builder,
+                                recursion_mode="composite")
 
 
 @pytest.fixture(scope="module")
