@@ -25,6 +25,9 @@ from .sm import (
     MemoryExecutor,
     PoseidonGExecutor,
 )
+from .sm.keccak_pipeline import run_keccak_pipeline
+from .sm.padding_pg import PaddingPGExecutor
+from .sm.storage_executor import StorageExecutor
 
 
 @dataclass
@@ -52,6 +55,8 @@ class Executor:
         self.memory = MemoryExecutor()
         self.mem_align = MemAlignExecutor()
         self.poseidon_g = PoseidonGExecutor()
+        self.storage = StorageExecutor()
+        self.padding_pg = PaddingPGExecutor()
 
     def process_batch(self, input_data: Optional[dict] = None
                       ) -> ProcessBatchResult:
@@ -73,14 +78,30 @@ class Executor:
             ctx = self.main.execute(input_data, record_trace=True)
         req = ctx.required
         res = ExecuteResult(ctx=ctx)
+        def poseidon_all():
+            # PoseidonG serves Main/Storage key+SMT hashing and PaddingPG
+            pg_pols, pg_required = self.padding_pg.execute(
+                req.padding_pg_inputs, self.n)
+            res.sm_pols["paddingPG"] = pg_pols
+            return self.poseidon_g.execute(
+                req.poseidon_g + pg_required, self.n)
+
+        def keccak_all():
+            out = run_keccak_pipeline(req.keccak_inputs, self.n)
+            res.sm_pols["paddingKK"] = out["paddingKK"]
+            res.sm_pols["paddingKKBit"] = out["paddingKKBit"]
+            res.sm_pols["bits2field"] = out["bits2field"]
+            return out["keccakF"]
+
         jobs = {
             "arith": lambda: self.arith.execute(req.arith, self.n),
             "binary": lambda: self.binary.execute(req.binary, self.n),
             "memory": lambda: self.memory.execute(req.memory, self.n),
             "memAlign": lambda: self.mem_align.execute(req.mem_align, self.n),
-            "poseidonG": lambda: self.poseidon_g.execute(
-                req.poseidon_g, self.n
-            ),
+            "storage": lambda: self.storage.execute(
+                req.storage, self.n, hashdb=self.hashdb),
+            "keccakF": keccak_all,
+            "poseidonG": poseidon_all,
         }
         with tlog.span("SECONDARY_SMS"):
             with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:

@@ -96,6 +96,7 @@ class Required:
     mem_align: List[dict] = field(default_factory=list)
     poseidon_g: List[list] = field(default_factory=list)
     keccak_inputs: List[bytes] = field(default_factory=list)
+    padding_pg_inputs: List[bytes] = field(default_factory=list)
     storage: List[dict] = field(default_factory=list)
 
 
@@ -474,6 +475,7 @@ class MainExecutor:
                 digest4 = poseidon_gl.linear_hash_host(felts + [len(data)])
                 hs.digest = fea2scalar(sr4to8(tuple(digest4)))
                 ctx.counters.poseidon_g += max(1, (len(felts) + 7) // 8)
+                ctx.required.padding_pg_inputs.append(bytes(hs.data))
             return fea8(hs.digest)
         raise ExecutorError(
             "FREEIN", f"no free input source at zkPC={ctx.zkPC} "
