@@ -78,28 +78,50 @@ def eval_command(ctx, tag: dict) -> int:
         ctx.vars[tag["varName"]] = 0
         return 0
     if op == "setVar":
-        value = eval_command(ctx, vals[0])
-        ctx.vars[tag["varName"]] = value
+        # values[0] names the variable (declareVar/getVar node), values[1]
+        # is the value expression (reference eval_setVar, eval_command.cpp
+        # :167-197)
+        if "varName" in tag:  # direct form: setVar{varName, values:[expr]}
+            value = eval_command(ctx, vals[0])
+            ctx.vars[tag["varName"]] = value
+            return value
+        name = vals[0].get("varName")
+        if name is None:
+            raise ValueError("setVar without varName")
+        if vals[0].get("op") == "declareVar":
+            ctx.vars.setdefault(name, 0)  # eval_left declares on the fly
+        if name not in ctx.vars:
+            raise ValueError(f"setVar on undeclared var {name}")
+        value = eval_command(ctx, vals[1])
+        ctx.vars[name] = value
         return value
     if op == "getVar":
         name = tag["varName"]
         if name not in ctx.vars:
             raise ValueError(f"undeclared var {name}")
         return ctx.vars[name]
+    # arithmetic is unbounded (reference evaluates over mpz, masking only
+    # at fea conversion time — eval_command.cpp scalar ops)
     if op == "add":
-        return (ev(0) + ev(1)) & MASK256
+        return ev(0) + ev(1)
     if op == "sub":
-        return (ev(0) - ev(1)) & MASK256
+        return ev(0) - ev(1)
     if op == "neg":
-        return (-ev(0)) & MASK256
+        return -ev(0)
     if op == "mul":
-        return (ev(0) * ev(1)) & MASK256
+        return ev(0) * ev(1)
     if op == "div":
-        return ev(0) // ev(1)
+        # mpz division truncates toward zero (C++ semantics), python floors
+        a, b = ev(0), ev(1)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
     if op == "mod":
-        return ev(0) % ev(1)
+        # mpz remainder carries the dividend's sign
+        a, b = ev(0), ev(1)
+        r = abs(a) % abs(b)
+        return -r if a < 0 else r
     if op == "exp":
-        return pow(ev(0), ev(1)) & MASK256
+        return pow(ev(0), ev(1))
     if op == "or":
         return 1 if (ev(0) or ev(1)) else 0
     if op == "and":
@@ -127,11 +149,17 @@ def eval_command(ctx, tag: dict) -> int:
     if op == "bitnot":
         return (~ev(0)) & MASK256
     if op == "shl":
-        return (ev(0) << ev(1)) & MASK256
+        return ev(0) << ev(1)
     if op == "shr":
         return ev(0) >> ev(1)
     if op == "if":
         return ev(1) if ev(0) else ev(2)
+    if op == "getMemValue":
+        # reference eval_getMemValue (eval_command.cpp:1102-1111): absolute
+        # memory offset, no CTX segmentation
+        fea = ctx.mem.get(int(tag["offset"]), [0] * 8)
+        return sum((int(v) & 0xFFFFFFFF) << (32 * i)
+                   for i, v in enumerate(fea))
     if op == "functionCall":
         return eval_function(ctx, tag)
     raise ValueError(f"unknown command op '{op}'")
@@ -164,8 +192,9 @@ def eval_function(ctx, tag: dict) -> int:
         length = pv(1)
         chunk = data[p:p + length]
         chunk = chunk + b"\x00" * (length - len(chunk))
-        # left-aligned 256-bit word
-        return int.from_bytes(chunk, "big") << (8 * (32 - length))
+        # right-aligned (plain big-endian scalar) — reference ba2fea
+        # (scalar.hpp:283-303)
+        return int.from_bytes(chunk, "big")
     if name == "beforeLast":
         # reference eval_beforeLast (eval_command.cpp:1544-1571): fea with
         # fea0 = -1 while step < N-2, then 0.  Fast mode (ctx.N == 0)

@@ -64,9 +64,10 @@ class Executor:
         ctx = self.main.execute(input_data)
         from .main_executor import sr8to4
 
+        final_sr = (ctx.final_regs or {}).get("SR", ctx.SR)
         return ProcessBatchResult(
             counters=ctx.counters.as_dict(),
-            new_state_root=sr8to4(ctx.SR),
+            new_state_root=sr8to4(final_sr),
             ctx=ctx,
         )
 

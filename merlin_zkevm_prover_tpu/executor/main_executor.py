@@ -132,6 +132,8 @@ class Context:
     # trace length for beforeLast(); fast mode leaves it at 0 so the ROM's
     # final padding spin exits immediately instead of burning N steps
     N: int = 0
+    # register state at entry of the last executed step (= trace row N-1)
+    final_regs: Optional[dict] = None
 
 
 def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
@@ -184,8 +186,17 @@ class MainExecutor:
             from .full_tracer import FullTracer
 
             ctx.tracer = FullTracer()
-        if "oldStateRoot" in ctx.input_data:
-            ctx.SR = fea8(int(ctx.input_data["oldStateRoot"]))
+        # initState (reference main_executor.cpp:4351-4367): B=oldStateRoot,
+        # C=oldAccInputHash, SP=oldBatchNum, GAS=chainID, CTX=forkID
+        inp = ctx.input_data
+        if "oldStateRoot" in inp:
+            ctx.B = fea8(int(inp["oldStateRoot"]))
+            ctx.SR = fea8(int(inp["oldStateRoot"]))
+        if "oldAccInputHash" in inp:
+            ctx.C = fea8(int(inp["oldAccInputHash"]))
+        ctx.SP = int(inp.get("oldNumBatch", 0))
+        ctx.GAS = int(inp.get("chainID", 0))
+        ctx.CTX = int(inp.get("forkID", 0))
         from .eval_command import eval_command  # cycle-free local import
 
         finished = False
@@ -200,6 +211,16 @@ class MainExecutor:
     # ------------------------------------------------------------------
     def _step(self, ctx: Context, line: RomLine, eval_command,
               record_trace: bool) -> bool:
+        # row-entry register snapshot (register lists are replaced, never
+        # mutated, so keeping references is O(1)); after the final step this
+        # holds row N-1 — where the PIL reads newStateRoot/newAccInputHash/
+        # localExitRoot/newBatchNum publics (main.pil publics idx 8388607)
+        ctx.final_regs = {
+            "A": ctx.A, "B": ctx.B, "C": ctx.C, "D": ctx.D, "E": ctx.E,
+            "SR": ctx.SR, "CTX": ctx.CTX, "SP": ctx.SP, "PC": ctx.PC,
+            "GAS": ctx.GAS, "RR": ctx.RR, "HASHPOS": ctx.HASHPOS,
+            "RCX": ctx.RCX,
+        }
         if line.cmd_before:
             for cmd in line.cmd_before:
                 eval_command(ctx, cmd)
@@ -344,6 +365,33 @@ class MainExecutor:
                 line.flag("memAlignWR8"):
             self._mem_align(ctx, line, op)
 
+        # ---- hashPDigest as an instruction: op carries the digest; load
+        # the program from the DB when the stream is absent (contract
+        # bytecode path, reference main_executor.cpp:2611-2665) ----
+        if line.flag("hashPDigest") and "inFREE" not in ins:
+            dg = fea2scalar(op)
+            if addr not in ctx.hash_p:
+                key = tuple((dg >> (64 * i)) & ((1 << 64) - 1)
+                            for i in range(4))
+                data = ctx.hashdb.get_program(key)
+                if data is None:
+                    raise ExecutorError(
+                        "HASHP", f"program not found for digest {hex(dg)}")
+                hs = HashState(data=bytearray(data))
+                hs.digest = dg
+                ctx.hash_p[addr] = hs
+                ctx.counters.padding_pg += -(-(len(data) + 1) // 56)
+                ctx.counters.poseidon_g += -(-(len(data) + 1) // 56)
+                ctx.counters.binary += 1
+                ctx.required.padding_pg_inputs.append(bytes(data))
+            else:
+                hs = ctx.hash_p[addr]
+                if hs.digest is None:
+                    self._hash_p_digest(ctx, hs)
+                if hs.digest != dg:
+                    raise ExecutorError(
+                        "HASHP", f"hashPDigest mismatch at zkPC={ctx.zkPC}")
+
         # ---- setters ----
         if line.flag("setA"):
             ctx.A = list(op)
@@ -418,9 +466,14 @@ class MainExecutor:
             for cmd in line.cmd_after:
                 eval_command(ctx, cmd)
 
-        # terminal condition: jump-to-self at the end label, or running off
+        # terminal condition: the ROM's final `JMP(start)` wrap (the trace
+        # is cyclic — reference runs exactly N steps and row N-1 jumps to
+        # row 0, main_executor.cpp loop bound), a jump-to-self end label
+        # (hand-written test ROMs), or running off the program
         finished = (next_zkpc == ctx.zkPC and
                     not (line.flag("repeat") and ctx.RCX != 0))
+        if next_zkpc == 0 and ctx.counters.steps > 0:
+            finished = True
         if next_zkpc >= self.rom.size:
             finished = True
         ctx.zkPC = next_zkpc
@@ -435,13 +488,55 @@ class MainExecutor:
             if isinstance(value, list):
                 return value
             return fea8(int(value))
-        # implicit sources
+        # implicit sources (reference main_executor.cpp:758-1489 nHits cases)
         if line.flag("mOp") and not line.flag("mWR"):
             return list(ctx.mem.get(addr, [0] * 8))
+        if line.flag("hashK") or line.flag("hashK1"):
+            return self._hash_read(ctx, ctx.hash_k, line, addr,
+                                   one=line.flag("hashK1"))
+        if line.flag("hashP") or line.flag("hashP1"):
+            return self._hash_read(ctx, ctx.hash_p, line, addr,
+                                   one=line.flag("hashP1"))
+        if line.flag("bin"):
+            a = fea2scalar(ctx.A)
+            b = fea2scalar(ctx.B)
+            opc = line.bin_opcode
+            if opc == 0:
+                v = (a + b) & MASK256
+            elif opc == 1:
+                v = (a - b) & MASK256
+            elif opc == 2:
+                v = 1 if a < b else 0
+            elif opc == 3:
+                sa = a - (1 << 256) if a >> 255 else a
+                sb = b - (1 << 256) if b >> 255 else b
+                v = 1 if sa < sb else 0
+            elif opc == 4:
+                v = 1 if a == b else 0
+            elif opc == 5:
+                v = a & b
+            elif opc == 6:
+                v = a | b
+            elif opc == 7:
+                v = a ^ b
+            else:
+                raise ExecutorError("BIN", f"bad free-in binOpcode {opc}")
+            return fea8(v)
+        if line.flag("memAlignRD"):
+            m0 = fea2scalar(ctx.A)
+            m1 = fea2scalar(ctx.B)
+            offset = fea2scalar(ctx.C)
+            if offset < 0 or offset > 32:
+                raise ExecutorError("MEMALIGN", f"bad offset {offset}")
+            left_v = (m0 << (offset * 8)) & MASK256
+            right_v = (m1 >> (256 - offset * 8)) & \
+                (MASK256 >> (256 - offset * 8)) if offset else 0
+            return fea8(left_v | right_v)
         if line.flag("sRD"):
             key = storage_key(ctx)
             root = sr8to4(ctx.SR)
             res = ctx.hashdb.get(root, key)
+            ctx.counters.poseidon_g += res.proof_hash_counter
             ctx.required.storage.append(
                 {"op": "get", "root": root, "key": key, "value": res.value}
             )
@@ -451,6 +546,8 @@ class MainExecutor:
             root = sr8to4(ctx.SR)
             value = fea2scalar(ctx.D)
             res = ctx.hashdb.set("", 0, root, key, value)
+            ctx.counters.poseidon_g += res.proof_hash_counter
+            ctx.counters.binary += 1  # reference cntBinary: bin|sWR|hashPDigest
             ctx.required.storage.append(
                 {"op": "set", "root": root, "key": key, "value": value,
                  "newRoot": res.new_root}
@@ -467,15 +564,7 @@ class MainExecutor:
         if line.flag("hashPDigest"):
             hs = ctx.hash_p.setdefault(addr, HashState())
             if hs.digest is None:
-                felts = []
-                data = bytes(hs.data)
-                # linear poseidon over 7-byte chunks (reference hashP)
-                for off in range(0, len(data), 7):
-                    felts.append(int.from_bytes(data[off:off + 7], "little"))
-                digest4 = poseidon_gl.linear_hash_host(felts + [len(data)])
-                hs.digest = fea2scalar(sr4to8(tuple(digest4)))
-                ctx.counters.poseidon_g += max(1, (len(felts) + 7) // 8)
-                ctx.required.padding_pg_inputs.append(bytes(hs.data))
+                self._hash_p_digest(ctx, hs)
             return fea8(hs.digest)
         raise ExecutorError(
             "FREEIN", f"no free input source at zkPC={ctx.zkPC} "
@@ -535,6 +624,43 @@ class MainExecutor:
         ctx.required.binary.append(
             {"a": a, "b": b, "c": c, "opcode": opcode, "type": 1}
         )
+
+    def _hash_p_digest(self, ctx: Context, hs: HashState) -> None:
+        """Compute the Poseidon linear hash of a hashP stream (reference
+        hashPLen/hashPDigest flow) and account counters: cntPaddingPG and
+        cntPoseidonG += ceil((len+1)/56), cntBinary += 1."""
+        data = bytes(hs.data)
+        felts = [int.from_bytes(data[off:off + 7], "little")
+                 for off in range(0, len(data), 7)]
+        digest4 = poseidon_gl.linear_hash_host(felts + [len(data)])
+        hs.digest = fea2scalar(sr4to8(tuple(digest4)))
+        inc = -(-(len(data) + 1) // 56)
+        ctx.counters.padding_pg += inc
+        ctx.counters.poseidon_g += inc
+        ctx.counters.binary += 1
+        ctx.required.padding_pg_inputs.append(data)
+        ctx.hashdb.set_program(
+            tuple((hs.digest >> (64 * i)) & ((1 << 64) - 1)
+                  for i in range(4)),
+            data,
+        )
+
+    def _hash_read(self, ctx: Context, table: Dict[int, HashState],
+                   line: RomLine, addr: int, one: bool) -> List[int]:
+        """Free-input read of `size` bytes (big-endian scalar) from a hash
+        stream at HASHPOS (reference main_executor.cpp hashK free in)."""
+        hs = table.setdefault(addr, HashState())
+        size = 1 if one else fe_to_s32(ctx.D[0])
+        if size < 0 or size > 32:
+            raise ExecutorError("HASH", f"bad hash read size {size}")
+        pos = ctx.HASHPOS
+        if pos < 0 or pos + size > len(hs.data):
+            raise ExecutorError(
+                "HASH", f"hash read out of range pos={pos} size={size} "
+                        f"len={len(hs.data)}"
+            )
+        v = int.from_bytes(bytes(hs.data[pos:pos + size]), "big")
+        return fea8(v)
 
     def _hash_absorb(self, ctx: Context, table: Dict[int, HashState],
                      line: RomLine, op: List[int], addr: int, one: bool):

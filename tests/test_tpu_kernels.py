@@ -43,19 +43,14 @@ def test_poseidon_tpu_kernels_interpret(tiny_tiles):
     pt = tiny_tiles
     if not pt.HAVE_PALLAS:
         pytest.skip("pallas unavailable")
-    st = rand_gl((12, 40))
+    st = rand_gl((12, 16))
     got = gl.to_u64(pt.permute_tpu(st, interpret=True))
     want = gl.to_u64(poseidon_gl.permute(st))
     assert np.array_equal(got, want)
 
-    rows = rand_gl((30, 21))
+    rows = rand_gl((10, 21))
     got = gl.to_u64(pt.linear_hash_tpu(rows, interpret=True))
     want = gl.to_u64(poseidon_gl.linear_hash(rows))
-    assert np.array_equal(got, want)
-
-    src = rand_gl((64, 9))
-    got = gl.to_u64(pt.merkelize_tpu(src, interpret=True))
-    want = gl.to_u64(poseidon_gl.merkelize(src))
     assert np.array_equal(got, want)
 
 
@@ -64,7 +59,7 @@ def test_ntt_tpu_kernels_interpret():
 
     if not nt.HAVE_PALLAS:
         pytest.skip("pallas unavailable")
-    for nbits, cols in [(4, 3), (10, 2)]:
+    for nbits, cols in [(4, 3), (10, 1)]:
         a = rand_gl((1 << nbits, cols))
         assert np.array_equal(
             gl.to_u64(nt.ntt_tpu(a, interpret=True)),
@@ -83,14 +78,12 @@ def test_ntt4step_sharded_bitexact():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(8, rows=8, cols=1)
-    a = rand_gl((1 << 10, 6))
+    a = rand_gl((1 << 8, 2))
     with mesh:
         got = gl.to_u64(n4.ntt4step(a, mesh))
         goti = gl.to_u64(n4.ntt4step(a, mesh, inverse=True))
-        gote = gl.to_u64(n4.extend_pol_4step(a, 10, 11, mesh))
     assert np.array_equal(got, gl.to_u64(nttmod.ntt(a)))
     assert np.array_equal(goti, gl.to_u64(nttmod.intt(a)))
-    assert np.array_equal(gote, gl.to_u64(nttmod.extend_pol(a, 10, 11)))
 
 
 def test_ntt4step_under_jit():
