@@ -72,13 +72,20 @@ class Executor:
         )
 
     def execute(self, input_data: Optional[dict] = None,
-                timer: Optional[TimerLog] = None) -> ExecuteResult:
-        """Full mode: Main SM + secondary SMs in parallel threads."""
+                timer: Optional[TimerLog] = None,
+                record_pols: bool = True) -> ExecuteResult:
+        """Full mode: Main SM + secondary SMs in parallel threads.
+
+        With record_pols, the Main SM's 175 committed columns are filled
+        (executor/main_pols.py) and returned in sm_pols["main"]."""
         tlog = timer or TimerLog("executor", quiet=True)
         with tlog.span("MAIN_EXECUTOR"):
-            ctx = self.main.execute(input_data, record_trace=True)
+            ctx = self.main.execute(input_data, record_trace=True,
+                                    record_pols=record_pols)
         req = ctx.required
         res = ExecuteResult(ctx=ctx)
+        if ctx.pols is not None:
+            res.sm_pols["main"] = ctx.pols.cols
         def poseidon_all():
             # PoseidonG serves Main/Storage key+SMT hashing and PaddingPG
             pg_pols, pg_required = self.padding_pg.execute(
@@ -88,7 +95,19 @@ class Executor:
                 req.poseidon_g + pg_required, self.n)
 
         def keccak_all():
-            out = run_keccak_pipeline(req.keccak_inputs, self.n)
+            # one keccak-f slot = ~155k gate rows (reference
+            # keccak_config.hpp:21-28); at reduced domains size the gate
+            # region independently so small-N test runs still fit
+            from .sm.keccak_f_script import build_keccak_f_program
+
+            n_gates = len(build_keccak_f_program().gates)
+            n_blocks = sum(
+                (len(data) + 136) // 136 for data in req.keccak_inputs
+            )
+            n_slots = -(-max(n_blocks, 1) // 44)
+            need = 1 + n_slots * n_gates
+            nk = max(self.n, 1 << (need - 1).bit_length())
+            out = run_keccak_pipeline(req.keccak_inputs, nk)
             res.sm_pols["paddingKK"] = out["paddingKK"]
             res.sm_pols["paddingKKBit"] = out["paddingKKBit"]
             res.sm_pols["bits2field"] = out["bits2field"]

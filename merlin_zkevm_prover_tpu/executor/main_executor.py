@@ -134,6 +134,9 @@ class Context:
     N: int = 0
     # register state at entry of the last executed step (= trace row N-1)
     final_regs: Optional[dict] = None
+    # optional Main-pols recorder (executor/main_pols.py)
+    pols: object = None
+    last_skey: Optional[tuple] = None
 
 
 def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
@@ -163,6 +166,7 @@ def storage_key(ctx: Context) -> Tuple[int, int, int, int]:
             ctx.B[0], ctx.B[1]]
     key_i = poseidon_gl.permute_host(kin0 + [0, 0, 0, 0])[:4]
     key = poseidon_gl.permute_host(kin1 + list(key_i))[:4]
+    ctx.last_skey = (tuple(key_i), tuple(key))
     ctx.counters.poseidon_g += 2
     ctx.required.poseidon_g.append(kin0 + [0, 0, 0, 0])
     ctx.required.poseidon_g.append(kin1 + list(key_i))
@@ -178,9 +182,14 @@ class MainExecutor:
 
     # ------------------------------------------------------------------
     def execute(self, input_data: Optional[dict] = None,
-                record_trace: bool = False) -> Context:
+                record_trace: bool = False,
+                record_pols: bool = False) -> Context:
         ctx = Context(rom=self.rom, hashdb=self.hashdb,
                       input_data=input_data or {})
+        if record_pols:
+            from .main_pols import MainPolsRecorder
+
+            ctx.pols = MainPolsRecorder(self.max_steps)
         if (input_data or {}).get("traceConfig", {}).get("enabled") or \
                 record_trace:
             from .full_tracer import FullTracer
@@ -221,6 +230,9 @@ class MainExecutor:
             "GAS": ctx.GAS, "RR": ctx.RR, "HASHPOS": ctx.HASHPOS,
             "RCX": ctx.RCX,
         }
+        counters_pre = Counters(**ctx.counters.__dict__) \
+            if ctx.pols is not None else None
+        ctx.last_skey = None
         if line.cmd_before:
             for cmd in line.cmd_before:
                 eval_command(ctx, cmd)
@@ -298,8 +310,10 @@ class MainExecutor:
                 op[i] = (op[i] + v) % P
 
         # ---- free input ----
+        fi_rec = None
         if "inFREE" in ins:
             fi = self._free_input(ctx, line, addr, eval_command)
+            fi_rec = fi
             coef = ins["inFREE"]
             for i in range(8):
                 op[i] = (op[i] + coef * fi[i]) % P
@@ -461,6 +475,26 @@ class MainExecutor:
             ctx.RCX = (ctx.RCX - 1) % P
             if ctx.RCX != 0:
                 next_zkpc = ctx.zkPC
+
+        if ctx.pols is not None:
+            extra = {"carry": ctx.carry, "counters_pre": counters_pre}
+            if line.flag("JMPN"):
+                v = op[0]
+                isneg = 1 if v >= FR_FIRST_32_NEGATIVE else 0
+                extra["isNeg"] = isneg
+                cond = (v + 0x100000000) % P if isneg else v
+                extra["lJmpnCondValue"] = cond & 0xFFFFFFFF
+                for j in range(9):
+                    extra[f"hJmpnCondValueBit{j}"] = (cond >> (32 + j)) & 1
+            if line.flag("JMPZ") and op[0] != 0:
+                extra["op0Inv"] = pow(op[0], P - 2, P)
+            if line.flag("repeat") and ctx.RCX != 0:
+                extra["RCXInv"] = pow(ctx.RCX % P, P - 2, P)
+            if ctx.last_skey is not None:
+                for j in range(4):
+                    extra[f"sKeyI{j}"] = ctx.last_skey[0][j]
+                    extra[f"sKey{j}"] = ctx.last_skey[1][j]
+            ctx.pols.record(ctx, line, op, fi_rec, extra)
 
         if line.cmd_after:
             for cmd in line.cmd_after:

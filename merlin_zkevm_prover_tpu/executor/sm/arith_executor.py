@@ -1,10 +1,15 @@
 """Arith SM (reference src/sm/arith/arith_executor.cpp + sm_arith_eq*.cpp).
 
-Operands are decomposed into 16 x 16-bit limbs; each action spans 32 rows
-with per-row carry columns.  Equations (selEq selectors):
-  eq0: x1*y1 + x2 = y2*2^256 + y3                  (256-bit mul/add)
-  eq1-4: secp256k1 point add/double equations (x/y coordinates with the
-  s slope and q quotient limbs against FPEC).
+Operands are decomposed into 16 x 16-bit limbs; each action spans 32 rows.
+Equation selectors (reference ArithAction selEq0-3, arith_executor.cpp:18-60):
+  selEq0: x1*y1 + x2 = y2*2^256 + y3               (256-bit mul/add)
+  selEq1: s*(x2 - x1) = y2 - y1 + q0*p             (EC add slope)
+  selEq2: 2*y1*s = 3*x1^2 + q0*p                   (EC double slope)
+  selEq3: x3 = s^2 - x1 - x2 - q1*p,
+          y3 = s*(x1 - x3) - y1 - q2*p             (EC result coords)
+
+The s slope and q quotients are derived here exactly as the reference
+executor does before limb decomposition.
 """
 
 from __future__ import annotations
@@ -26,8 +31,7 @@ class ArithExecutor:
     VEC_COLS = ["x1", "y1", "x2", "y2", "x3", "y3", "s", "q0", "q1", "q2"]
     COLUMNS = (
         [f"{c}_{i}" for c in VEC_COLS for i in range(N_LIMBS)]
-        + ["selEq0", "selEq1", "selEq2", "selEq3",
-           "resultEq0", "resultEq1", "resultEq2"]
+        + ["selEq0", "selEq1", "selEq2", "selEq3"]
     )
 
     def execute(self, actions: List[dict], n: int) -> Dict[str, np.ndarray]:
@@ -36,49 +40,59 @@ class ArithExecutor:
         pols = {c: np.zeros(n, dtype=np.uint64) for c in self.COLUMNS}
         row = 0
         for act in actions:
-            self._check(act)
-            vals = {
-                "x1": act["x1"], "y1": act["y1"], "x2": act["x2"],
-                "y2": act["y2"], "x3": act.get("x3", 0),
-                "y3": act.get("y3", 0), "s": act.get("s", 0),
-                "q0": act.get("q0", 0), "q1": act.get("q1", 0),
-                "q2": act.get("q2", 0),
-            }
+            vals = self._prepare(dict(act))
             for r in range(ROWS_PER_ACTION):
                 for c in self.VEC_COLS:
                     lv = limbs16(vals[c])
                     for i in range(N_LIMBS):
                         pols[f"{c}_{i}"][row + r] = lv[i]
-                pols[f"selEq{min(act.get('eq', 0), 3)}"][row + r] = 1
-            pols["resultEq0"][row + ROWS_PER_ACTION - 1] = \
-                1 if act.get("eq", 0) == 0 else 0
+                for k in range(4):
+                    if vals[f"selEq{k}"]:
+                        pols[f"selEq{k}"][row + r] = 1
             row += ROWS_PER_ACTION
         return pols
 
     @staticmethod
-    def _check(act: dict):
-        eq = act.get("eq", 0)
-        if eq == 0:
-            # x1*y1 + x2 = y2*2^256 + y3
-            lhs = act["x1"] * act["y1"] + act["x2"]
-            rhs = (act["y2"] << 256) + act["y3"]
-            if lhs != rhs:
+    def _prepare(act: dict) -> dict:
+        """Validate the action and derive s/q0/q1/q2 (reference
+        arith_executor.cpp slope/quotient derivation)."""
+        # normalize legacy format
+        if "selEq0" not in act:
+            eq = act.get("eq", 0)
+            act["selEq0"] = 1 if eq == 0 else 0
+            act["selEq1"] = 1 if eq == 1 else 0
+            act["selEq2"] = 1 if eq == 2 else 0
+            act["selEq3"] = 1 if eq in (1, 2) else 0
+        x1, y1 = act["x1"], act["y1"]
+        x2, y2 = act["x2"], act["y2"]
+        x3, y3 = act.get("x3", 0), act.get("y3", 0)
+        s = q0 = q1 = q2 = 0
+        if act["selEq0"]:
+            if x1 * y1 + x2 != (y2 << 256) + y3:
                 raise ValueError("arith eq0 check failed")
-        elif eq in (1, 2):
-            # point addition: s*(x2 - x1) = y2 - y1 (mod FPEC)  [eq1]
-            #                 2*y1*s = 3*x1^2 (mod FPEC)        [eq2 double]
-            if eq == 1:
-                if (act["s"] * (act["x2"] - act["x1"]) -
-                        (act["y2"] - act["y1"])) % FPEC != 0:
-                    raise ValueError("arith eq1 check failed")
-            else:
-                if (2 * act["y1"] * act["s"] -
-                        3 * act["x1"] * act["x1"]) % FPEC != 0:
-                    raise ValueError("arith eq2 check failed")
-            # shared: x3 = s^2 - x1 - x2, y3 = s*(x1 - x3) - y1 (mod FPEC)
-            if (act["s"] ** 2 - act["x1"] - act["x2"] -
-                    act["x3"]) % FPEC != 0:
-                raise ValueError("arith x3 check failed")
-            if (act["s"] * (act["x1"] - act["x3"]) - act["y1"] -
-                    act["y3"]) % FPEC != 0:
-                raise ValueError("arith y3 check failed")
+        if act["selEq1"]:
+            s = (y2 - y1) % FPEC * pow((x2 - x1) % FPEC, FPEC - 2, FPEC) \
+                % FPEC
+            # s*(x2-x1) - (y2-y1) = q0*p  (q0 offset-encoded positive)
+            num = s * (x2 - x1) - (y2 - y1)
+            assert num % FPEC == 0, "arith eq1 check failed"
+            q0 = (num // FPEC) % (1 << 256)
+        if act["selEq2"]:
+            s = 3 * x1 * x1 % FPEC * pow(2 * y1 % FPEC, FPEC - 2, FPEC) \
+                % FPEC
+            num = s * 2 * y1 - 3 * x1 * x1
+            assert num % FPEC == 0, "arith eq2 check failed"
+            q0 = (num // FPEC) % (1 << 256)
+        if act["selEq3"]:
+            num = s * s - x1 - x2 - x3
+            assert num % FPEC == 0, "arith x3 check failed"
+            q1 = (num // FPEC) % (1 << 256)
+            num = s * (x1 - x3) - y1 - y3
+            assert num % FPEC == 0, "arith y3 check failed"
+            q2 = (num // FPEC) % (1 << 256)
+        return {
+            "x1": x1, "y1": y1, "x2": x2, "y2": y2, "x3": x3, "y3": y3,
+            "s": s, "q0": q0, "q1": q1, "q2": q2,
+            "selEq0": act["selEq0"], "selEq1": act["selEq1"],
+            "selEq2": act["selEq2"], "selEq3": act["selEq3"],
+        }

@@ -63,3 +63,29 @@ def test_performance_batches(rom, path):
     got, want, res = _run(rom, path)
     assert got == want, f"{path}: {hex(got)} != {hex(want)}"
     assert res.counters["cntSteps"] > 1_000_000
+
+
+@needs_ref
+def test_main_pols_recorder(rom):
+    """Full mode fills the 175 Main committed columns (reference
+    commit_pols.hpp:1406-1408) from a production batch."""
+    from merlin_zkevm_prover_tpu.executor.executor import Executor
+    from merlin_zkevm_prover_tpu.hashdb.hashdb import HashDB
+
+    d = json.load(open(VECTORS[0]))
+    hashdb = HashDB()
+    load_db_into(hashdb, d)
+    ex = Executor(rom, hashdb, n_bits=14)
+    res = ex.execute(load_input(d))
+    main = res.sm_pols["main"]
+    assert len(main) == 175
+    rows = res.ctx.pols.row
+    assert rows > 7000
+    # row 0 carries initState: B = oldStateRoot, CTX = forkID, GAS = chainID
+    osr = int(d["oldStateRoot"], 16)
+    assert int(main["B0"][0]) == osr & 0xFFFFFFFF
+    assert int(main["CTX"][0]) == d["forkID"]
+    assert int(main["GAS"][0]) == d["chainID"]
+    # SR at the last row is the PIL's newStateRoot public (idx N-1)
+    got = sum(int(main[f"SR{j}"][rows - 1]) << (32 * j) for j in range(8))
+    assert got == int(d["newStateRoot"], 16)
