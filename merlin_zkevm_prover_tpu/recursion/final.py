@@ -41,4 +41,10 @@ class FinalStage:
                 "R1CS shape changed across proofs"
         g16 = groth16.prove(self.key, witness)
         g16["publics"] = witness[1: r1cs.n_public + 1]
+        # native pairing check (the reference CI's snarkjs-ffv role)
+        from ..snark.pairing import groth16_verify, make_vk
+
+        vk = make_vk(self.toxic, r1cs.n_public)
+        assert groth16_verify(vk, g16), "final Groth16 proof fails pairing"
+        g16["verified"] = True
         return g16
