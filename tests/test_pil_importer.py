@@ -26,11 +26,12 @@ def test_import_and_compile_zkevm_main_pil():
     assert air.cm_names[0] != "cm0"  # names resolved from references
 
     info = compile_air(air, n_queries=32)
-    # committed pols: 665 stage-1 + h1/h2 per lookup + num/den/z per arg
-    n_args = 28 + 18 + 2
+    # committed pols: 665 stage-1 + h1/h2 per lookup + num/den/z per
+    # lookup/permutation; connections chain their 3-factor products
+    # through 2 im pols per side (num/den) + z (compiler _chain_product)
     assert info.n_cm[0] == 665
     assert info.n_cm[1] == 2 * 28
-    assert info.n_cm[2] == 3 * n_args
+    assert info.n_cm[2] == 3 * (28 + 18) + 2 * (2 * 2 + 1)
     assert info.q_deg >= 1
     assert info.n_bits_ext > info.n_bits
     assert len(info.ev_map) > 600
