@@ -1,0 +1,178 @@
+"""PIL conformance checker: evaluate the real zkEVM constraint system on
+framework-produced traces.
+
+Proving the full 665-column PIL requires every identity to hold; this tool
+measures the distance: it evaluates each polIdentity of a compiled PIL
+over the n-domain given named committed columns (from the executor's
+recorders) and named constants (models/zkevm_constants.py), and reports
+violations grouped by the PIL source file.  Unmapped columns default to
+zero, so the report doubles as a column-coverage map — the round-by-round
+driver toward full-PIL proving (reference parity: pil-stark's
+`main_checker` role).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops.goldilocks import GL, P
+from .air import Expr
+from .pil_importer import import_pil
+
+
+@dataclass
+class ConformanceReport:
+    n: int
+    total_identities: int
+    passed: List[int] = field(default_factory=list)
+    failed: Dict[int, int] = field(default_factory=dict)  # idx -> violations
+    by_file: Dict[str, Tuple[int, int]] = field(default_factory=dict)
+    mapped_cm: int = 0
+    mapped_const: int = 0
+
+    @property
+    def n_passed(self):
+        return len(self.passed)
+
+    def summary(self) -> str:
+        lines = [
+            f"PIL conformance: {self.n_passed}/{self.total_identities} "
+            f"identities hold on the {self.n}-row trace "
+            f"({self.mapped_cm} cm / {self.mapped_const} const columns mapped)"
+        ]
+        for fn in sorted(self.by_file):
+            ok, tot = self.by_file[fn]
+            lines.append(f"  {fn}: {ok}/{tot}")
+        return "\n".join(lines)
+
+
+def _eval(e: Expr, cm: GL, const: GL, publics: Dict[int, int],
+          memo: Dict) -> GL:
+    hit = memo.get(e)
+    if hit is not None:
+        return hit
+    k = e.kind
+    if k == "cm":
+        v = GL(cm.lo[:, e.id], cm.hi[:, e.id])
+        if e.prime:
+            v = GL(jnp.roll(v.lo, -1), jnp.roll(v.hi, -1))
+    elif k == "const":
+        v = GL(const.lo[:, e.id], const.hi[:, e.id])
+        if e.prime:
+            v = GL(jnp.roll(v.lo, -1), jnp.roll(v.hi, -1))
+    elif k == "number":
+        v = gl.const(e.value)
+    elif k == "public":
+        v = gl.const(publics.get(e.id, 0))
+    elif k == "add":
+        v = gl.add(_eval(e.args[0], cm, const, publics, memo),
+                   _eval(e.args[1], cm, const, publics, memo))
+    elif k == "sub":
+        v = gl.sub(_eval(e.args[0], cm, const, publics, memo),
+                   _eval(e.args[1], cm, const, publics, memo))
+    elif k == "mul":
+        v = gl.mul(_eval(e.args[0], cm, const, publics, memo),
+                   _eval(e.args[1], cm, const, publics, memo))
+    elif k == "neg":
+        v = gl.neg(_eval(e.args[0], cm, const, publics, memo))
+    else:
+        raise ValueError(f"unsupported kind {k} in conformance check")
+    memo[e] = v
+    return v
+
+
+def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
+                      const_cols: Dict[str, np.ndarray], n_bits: int,
+                      publics: Optional[Dict[int, int]] = None,
+                      rows_mask: Optional[np.ndarray] = None
+                      ) -> ConformanceReport:
+    """cm_cols/const_cols: PIL-name -> (n,) uint64 arrays.  rows_mask:
+    optional bool array — violations only counted where True (e.g. mask
+    off padding rows)."""
+    if isinstance(pil_source, str):
+        with open(pil_source) as f:
+            pil = json.load(f)
+    else:
+        pil = pil_source
+    n = 1 << n_bits
+    air = import_pil(pil, name="conformance")
+
+    cm_mat = np.zeros((n, len(air.cm_names)), dtype=np.uint64)
+    mapped_cm = 0
+    for i, name in enumerate(air.cm_names):
+        col = cm_cols.get(name)
+        if col is not None:
+            cm_mat[: len(col), i] = col[:n]
+            mapped_cm += 1
+    const_mat = np.zeros((n, len(air.const_names)), dtype=np.uint64)
+    mapped_const = 0
+    for i, name in enumerate(air.const_names):
+        col = const_cols.get(name)
+        if col is not None:
+            const_mat[: len(col), i] = col[:n]
+            mapped_const += 1
+
+    cm = gl.from_u64(cm_mat)
+    const = gl.from_u64(const_mat)
+    publics = publics or {}
+
+    report = ConformanceReport(
+        n=n, total_identities=len(pil["polIdentities"]),
+        mapped_cm=mapped_cm, mapped_const=mapped_const,
+    )
+    memo: Dict = {}
+    mask = None
+    if rows_mask is not None:
+        mask = jnp.asarray(rows_mask[:n])
+
+    # resolve identity expressions through the importer's machinery: they
+    # are exactly air.constraints after the publics pins
+    n_pub_pins = len(air.publics)
+    identities = air.constraints[n_pub_pins:]
+    assert len(identities) == len(pil["polIdentities"])
+    for idx, (expr, ident) in enumerate(zip(identities,
+                                            pil["polIdentities"])):
+        v = _eval(expr, cm, const, publics, memo)
+        nz = (v.lo != 0) | (v.hi != 0)
+        if mask is not None:
+            nz = nz & mask
+        violations = int(jnp.sum(nz))
+        fn = ident.get("fileName", "?")
+        ok, tot = report.by_file.get(fn, (0, 0))
+        if violations == 0:
+            report.passed.append(idx)
+            report.by_file[fn] = (ok + 1, tot + 1)
+        else:
+            report.failed[idx] = violations
+            report.by_file[fn] = (ok, tot + 1)
+    return report
+
+
+def executor_cm_columns(res) -> Dict[str, np.ndarray]:
+    """Map an ExecuteResult's sm_pols onto PIL column names."""
+    out: Dict[str, np.ndarray] = {}
+    main = res.sm_pols.get("main", {})
+    for name, col in main.items():
+        out[f"Main.{name}"] = col
+    arith = res.sm_pols.get("arith", {})
+    for name, col in arith.items():
+        if "_" in name and name.split("_")[-1].isdigit():
+            base, i = name.rsplit("_", 1)
+            out[f"Arith.{base}[{i}]"] = col
+        else:
+            out[f"Arith.{name}"] = col
+    for sm, ns in (("binary", "Binary"), ("memory", "Mem"),
+                   ("memAlign", "MemAlign"), ("storage", "Storage"),
+                   ("poseidonG", "PoseidonG"), ("paddingPG", "PaddingPG"),
+                   ("paddingKK", "PaddingKK"),
+                   ("paddingKKBit", "PaddingKKBit"),
+                   ("bits2field", "Bits2Field"), ("keccakF", "KeccakF")):
+        for name, col in res.sm_pols.get(sm, {}).items():
+            out[f"{ns}.{name}"] = col
+    return out
