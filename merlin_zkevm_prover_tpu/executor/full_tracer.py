@@ -153,7 +153,10 @@ class FullTracer:
         elif name == "onFinishTx":
             if self.current_tx is not None:
                 tx = self.current_tx
-                tx.gas_used = tx.gas_limit - ctx.GAS if tx.gas_limit else 0
+                if tx.gas_limit:
+                    tx.gas_used = tx.gas_limit - ctx.GAS
+                elif params:
+                    tx.gas_used = int(params[0])
                 tx.state_root = _fea(ctx.SR)
                 self.trace.gas_used += tx.gas_used
                 self.current_tx = None

@@ -87,7 +87,10 @@ def test_arith_trace_eq0_and_ec():
             "s": s, "eq": 2}
     pols = ex.execute([act0, act2], 128)
     assert pols["selEq0"][0] == 1
-    assert pols["resultEq0"][31] == 1
+    # EC double rows carry selEq2+selEq3 and the derived slope limbs
+    assert pols["selEq2"][32] == 1 and pols["selEq3"][32] == 1
+    s_rec = sum(int(pols[f"s_{i}"][32]) << (16 * i) for i in range(16))
+    assert s_rec == s
     with pytest.raises(ValueError):
         ex.execute([dict(act0, y3=act0["y3"] + 1)], 64)
 
