@@ -63,8 +63,11 @@ class PoseidonGExecutor:
                 if r < SLOT_ROWS - 1:
                     state = _round(state, r)
                 row += 1
-        # pad remaining slots with the zero-state round trace
-        if row < n:
+        # pad remaining COMPLETE slots with the zero-state round trace;
+        # the trailing n % 31 rows form the dead zone gated by LAST=1 in
+        # the constants (31 does not divide a power-of-two domain)
+        full = (n // SLOT_ROWS) * SLOT_ROWS
+        if row < full:
             zero_states = [[0] * 12]
             st = [0] * 12
             for r in range(SLOT_ROWS - 1):
@@ -72,7 +75,7 @@ class PoseidonGExecutor:
                 zero_states.append(list(st))
             zero_digest = zero_states[-1][:4]
             k = 0
-            while row < n:
+            while row < full:
                 for ci, col in enumerate(self.STATE_COLS):
                     pols[col][row] = zero_states[k % SLOT_ROWS][ci]
                 for hi in range(4):

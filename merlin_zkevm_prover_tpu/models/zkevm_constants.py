@@ -177,7 +177,14 @@ def poseidon_g_constants(n: int) -> Dict[str, np.ndarray]:
     out["PoseidonG.LATCH"] = np.zeros(n, dtype=np.uint64)
     out["PoseidonG.LASTBLOCK"] = np.zeros(n, dtype=np.uint64)
     out["PoseidonG.PARTIAL"] = np.zeros(n, dtype=np.uint64)
+    full = (n // rows_per) * rows_per
     for i in range(n):
+        if i >= full:
+            # 31 does not divide 2^k: trailing rows are a dead zone —
+            # LAST=1 gates off every transition constraint through the
+            # domain wrap
+            out["PoseidonG.LAST"][i] = 1
+            continue
         r = i % rows_per
         if r < 30:
             for j in range(WIDTH):

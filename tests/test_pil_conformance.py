@@ -41,7 +41,8 @@ def test_zkevm_pil_conformance_on_real_batch():
     const = zc.build_all(1 << n_bits)
     rep = check_conformance(PIL, cm, const, n_bits)
     print("\n" + rep.summary())
-    # ratchet: round-2 floor is 533/631 — raise as column parity improves
-    assert rep.n_passed >= 530, rep.summary()
+    # ratchet: round-2 floor is 549/631 — raise as column parity improves
+    assert rep.n_passed >= 545, rep.summary()
     assert rep.by_file["arith.pil"] == (179, 179)
     assert rep.by_file["mem_align.pil"] == (52, 52)
+    assert rep.by_file["poseidong.pil"] == (26, 26)
