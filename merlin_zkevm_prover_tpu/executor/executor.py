@@ -87,12 +87,17 @@ class Executor:
         if ctx.pols is not None:
             res.sm_pols["main"] = ctx.pols.cols
         def poseidon_all():
-            # PoseidonG serves Main/Storage key+SMT hashing and PaddingPG
+            # reference thread grouping PaddingPG -> Storage -> PoseidonG
+            # (executor.cpp:428-449): the Storage micro-ROM and PaddingPG
+            # both emit PoseidonG permutation work items
+            storage_req: list = []
+            res.sm_pols["storage"] = self.storage.execute(
+                req.storage, self.n, required_poseidon=storage_req)
             pg_pols, pg_required = self.padding_pg.execute(
                 req.padding_pg_inputs, self.n)
             res.sm_pols["paddingPG"] = pg_pols
             return self.poseidon_g.execute(
-                req.poseidon_g + pg_required, self.n)
+                req.poseidon_g + storage_req + pg_required, self.n)
 
         def keccak_all():
             # one keccak-f slot = ~155k gate rows (reference
@@ -118,8 +123,6 @@ class Executor:
             "binary": lambda: self.binary.execute(req.binary, self.n),
             "memory": lambda: self.memory.execute(req.memory, self.n),
             "memAlign": lambda: self.mem_align.execute(req.mem_align, self.n),
-            "storage": lambda: self.storage.execute(
-                req.storage, self.n, hashdb=self.hashdb),
             "keccakF": keccak_all,
             "poseidonG": poseidon_all,
         }

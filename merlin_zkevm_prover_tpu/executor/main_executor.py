@@ -571,9 +571,7 @@ class MainExecutor:
             root = sr8to4(ctx.SR)
             res = ctx.hashdb.get(root, key)
             ctx.counters.poseidon_g += res.proof_hash_counter
-            ctx.required.storage.append(
-                {"op": "get", "root": root, "key": key, "value": res.value}
-            )
+            ctx.required.storage.append(res)
             return fea8(res.value)
         if line.flag("sWR"):
             key = storage_key(ctx)
@@ -582,10 +580,7 @@ class MainExecutor:
             res = ctx.hashdb.set("", 0, root, key, value)
             ctx.counters.poseidon_g += res.proof_hash_counter
             ctx.counters.binary += 1  # reference cntBinary: bin|sWR|hashPDigest
-            ctx.required.storage.append(
-                {"op": "set", "root": root, "key": key, "value": value,
-                 "newRoot": res.new_root}
-            )
+            ctx.required.storage.append(res)
             return sr4to8(res.new_root)
         if line.flag("hashKDigest"):
             hs = ctx.hash_k.setdefault(addr, HashState())

@@ -10,19 +10,20 @@ Node encoding, bit-exact with the reference:
     remaining key with the first L interleaved bits removed
     (Smt::removeKeyBits, smt.cpp:1052-1075).
 
-Insert/update/delete walk the path, splitting leaves on divergence and
-collapsing single-leaf branches on delete — same state transitions as
-Smt::set (smt.cpp:10-802), implemented recursively from scratch.
+set/get follow the reference's iterative shape (smt.cpp:10-802): descend
+recording the sibling nodes per level, dispatch on the action mode
+(update / insertFound / insertNotFound / deleteFound / deleteNotFound /
+deleteLast / zeroToZero), then climb rehashing the mutated path.  The
+result carries the full action metadata (mode, siblings, insKey/insValue,
+isOld0, proofHashCounter) that the Storage SM micro-ROM executor replays.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from .. import native
-from ..ops import poseidon_gl
-from ..ops.goldilocks import P
 
 ZERO4 = (0, 0, 0, 0)
 
@@ -66,25 +67,35 @@ def join_key(bits: List[int], rkey) -> Tuple[int, int, int, int]:
     return tuple((rkey[j] << n[j]) | accs[j] for j in range(4))
 
 
-def _hash_branch(db, left, right):
-    v = list(left) + list(right) + [0, 0, 0, 0]
+def _hash_save(db, a8, c4):
+    v = list(a8) + list(c4)
     h = tuple(native.poseidon_permute(v)[:4])
     db.write_node(h, v)
     return h
+
+
+def _hash_branch(db, left, right):
+    return _hash_save(db, list(left) + list(right), [0, 0, 0, 0])
 
 
 def _hash_leaf(db, rkey, value_hash):
-    v = list(rkey) + list(value_hash) + [1, 0, 0, 0]
-    h = tuple(native.poseidon_permute(v)[:4])
-    db.write_node(h, v)
-    return h
+    return _hash_save(db, list(rkey) + list(value_hash), [1, 0, 0, 0])
 
 
 def _hash_value(db, value: int):
-    v = scalar2fea(value) + [0, 0, 0, 0]
-    h = tuple(native.poseidon_permute(v)[:4])
-    db.write_node(h, v)
-    return h
+    return _hash_save(db, scalar2fea(value), [0, 0, 0, 0])
+
+
+def _unique_sibling(node: List[int]) -> int:
+    """Index of the only non-zero 4-felt group, or -1
+    (Smt::getUniqueSibling, smt.cpp:1139-1155)."""
+    found = 0
+    idx = -1
+    for i in range(0, len(node), 4):
+        if any(node[i:i + 4]):
+            found += 1
+            idx = i // 4
+    return idx if found == 1 else -1
 
 
 @dataclass
@@ -101,6 +112,10 @@ class SmtSetResult:
     siblings: Dict[int, List[int]] = field(default_factory=dict)
     proof_hash_counter: int = 0
 
+    @property
+    def b_is_set(self):
+        return True
+
 
 @dataclass
 class SmtGetResult:
@@ -113,6 +128,10 @@ class SmtGetResult:
     siblings: Dict[int, List[int]] = field(default_factory=dict)
     proof_hash_counter: int = 0
 
+    @property
+    def b_is_set(self):
+        return False
+
 
 class Smt:
     """Stateless SMT engine over a node database."""
@@ -124,125 +143,217 @@ class Smt:
         v = db.read_node(tuple(root))
         if v is None:
             raise KeyError(f"SMT node not found: {root}")
-        return v
+        return list(v)
 
     # ------------------------------------------------------------------
     def get(self, db, root, key) -> SmtGetResult:
         res = SmtGetResult(root=tuple(root), key=tuple(key))
-        path = split_key(key)
+        keys = split_key(key)
+        siblings: Dict[int, List[int]] = {}
+        acc_key: List[int] = []
         level = 0
         r = tuple(root)
-        counter = 0
-        while r != ZERO4:
+        found_key = None
+        found_value = 0
+        while r != ZERO4 and found_key is None:
             v = self._read(db, r)
-            counter += 1
+            siblings[level] = v
             if self._is_leaf(v):
-                rkey = tuple(v[0:4])
-                leaf_key = join_key(path[:level], rkey)
                 value_v = self._read(db, tuple(v[4:8]))
-                counter += 1
-                value = fea2scalar(value_v[0:8])
-                if leaf_key == tuple(key):
-                    res.value = value
-                    res.is_old0 = False
-                else:
-                    res.ins_key = leaf_key
-                    res.ins_value = value
-                    res.is_old0 = False
-                    res.value = 0
-                res.proof_hash_counter = counter
-                return res
-            sib = v[4:8] if path[level] == 0 else v[0:4]
-            res.siblings[level] = list(v)
-            r = tuple(v[0:4]) if path[level] == 0 else tuple(v[4:8])
-            level += 1
-        res.proof_hash_counter = counter
+                found_value = fea2scalar(value_v[0:8])
+                found_key = join_key(acc_key, tuple(v[0:4]))
+            else:
+                r = tuple(v[keys[level] * 4: keys[level] * 4 + 4])
+                acc_key.append(keys[level])
+                level += 1
+        level -= 1
+        if acc_key:
+            acc_key.pop()
+
+        if found_key is not None:
+            if found_key == tuple(key):
+                res.value = found_value
+            else:
+                res.ins_key = found_key
+                res.ins_value = found_value
+                res.is_old0 = False
+        # keep siblings only above the leaf level (smt.cpp:957-963)
+        for lvl in list(siblings):
+            if lvl > level:
+                del siblings[lvl]
+        res.siblings = siblings
+        if tuple(root) != ZERO4:
+            res.proof_hash_counter = len(siblings)
+            if res.value != 0 or not res.is_old0:
+                res.proof_hash_counter += 2
         return res
 
     # ------------------------------------------------------------------
     def set(self, db, old_root, key, value: int) -> SmtSetResult:
         res = SmtSetResult(old_root=tuple(old_root), key=tuple(key),
                            new_value=value)
-        path = split_key(key)
-        get_res = self.get(db, old_root, key) if tuple(old_root) != ZERO4 \
-            else None
-        res.old_value = get_res.value if get_res else 0
+        keys = split_key(key)
+        siblings: Dict[int, List[int]] = {}
+        acc_key: List[int] = []
+        level = 0
+        phc = 0
+        r = tuple(old_root)
+        new_root = tuple(old_root)
+        found_key = None
+        found_rkey = ZERO4
+        found_value = 0
+        found_value_hash = ZERO4
+        old_value = 0
+        ins_key = ZERO4
+        ins_value = 0
+        is_old0 = True
+        mode = ""
 
-        new_root = self._set_rec(db, tuple(old_root), path, 0, key, value, res)
-        res.new_root = new_root
+        # ---- descend ----
+        while r != ZERO4 and found_key is None:
+            v = self._read(db, r)
+            siblings[level] = v
+            if self._is_leaf(v):
+                found_value_hash = tuple(v[4:8])
+                value_v = self._read(db, found_value_hash)
+                found_value = fea2scalar(value_v[0:8])
+                found_rkey = tuple(v[0:4])
+                found_key = join_key(acc_key, found_rkey)
+            else:
+                r = tuple(v[keys[level] * 4: keys[level] * 4 + 4])
+                acc_key.append(keys[level])
+                level += 1
+        level -= 1
+        if acc_key:
+            acc_key.pop()
+
+        if tuple(old_root) != ZERO4:
+            phc = min(len(siblings), level + 1)
+            if found_value:
+                phc += 2
+
+        # ---- dispatch on mode ----
+        if value != 0:
+            if found_key is not None:
+                if found_key == tuple(key):
+                    mode = "update"
+                    old_value = found_value
+                    new_val_h = _hash_value(db, value)
+                    new_leaf = _hash_leaf(db, found_rkey, new_val_h)
+                    phc += 2
+                    if level >= 0:
+                        self._put(siblings[level], keys[level], new_leaf)
+                    else:
+                        new_root = new_leaf
+                else:
+                    mode = "insertFound"
+                    level2 = level + 1
+                    found_keys = split_key(found_key)
+                    while keys[level2] == found_keys[level2]:
+                        level2 += 1
+                    old_leaf = _hash_leaf(
+                        db, remove_key_bits(found_key, level2 + 1),
+                        found_value_hash)
+                    ins_key, ins_value, is_old0 = \
+                        found_key, found_value, False
+                    new_val_h = _hash_value(db, value)
+                    new_leaf = _hash_leaf(
+                        db, remove_key_bits(key, level2 + 1), new_val_h)
+                    node = [0] * 8
+                    node[keys[level2] * 4: keys[level2] * 4 + 4] = new_leaf
+                    node[found_keys[level2] * 4:
+                         found_keys[level2] * 4 + 4] = old_leaf
+                    r2 = _hash_branch(db, node[0:4], node[4:8])
+                    phc += 4
+                    level2 -= 1
+                    while level2 != level:
+                        node = [0] * 8
+                        node[keys[level2] * 4: keys[level2] * 4 + 4] = r2
+                        r2 = _hash_branch(db, node[0:4], node[4:8])
+                        phc += 1
+                        level2 -= 1
+                    if level >= 0:
+                        self._put(siblings[level], keys[level], r2)
+                    else:
+                        new_root = r2
+            else:
+                mode = "insertNotFound"
+                new_val_h = _hash_value(db, value)
+                new_leaf = _hash_leaf(
+                    db, remove_key_bits(key, level + 1), new_val_h)
+                phc += 2
+                if level >= 0:
+                    self._put(siblings[level], keys[level], new_leaf)
+                else:
+                    new_root = new_leaf
+        else:
+            if found_key is not None and found_key == tuple(key):
+                old_value = found_value
+                if level >= 0:
+                    self._put(siblings[level], keys[level], ZERO4)
+                    ukey = _unique_sibling(siblings[level])
+                    if ukey >= 0:
+                        sib = self._read(
+                            db, tuple(siblings[level]
+                                      [ukey * 4: ukey * 4 + 4]))
+                        siblings[level + 1] = sib
+                        if self._is_leaf(sib):
+                            mode = "deleteFound"
+                            val_h = tuple(sib[4:8])
+                            phc += 2
+                            ins_key = join_key(acc_key + [ukey],
+                                               tuple(sib[0:4]))
+                            ins_value = fea2scalar(
+                                self._read(db, val_h)[0:8])
+                            is_old0 = False
+                            while ukey >= 0 and level >= 0:
+                                level -= 1
+                                if level >= 0:
+                                    ukey = _unique_sibling(siblings[level])
+                            old_leaf = _hash_leaf(
+                                db, remove_key_bits(ins_key, level + 1),
+                                val_h)
+                            phc += 1
+                            if level >= 0:
+                                self._put(siblings[level], keys[level],
+                                          old_leaf)
+                            else:
+                                new_root = old_leaf
+                        else:
+                            mode = "deleteNotFound"
+                    else:
+                        mode = "deleteNotFound"
+                else:
+                    mode = "deleteLast"
+                    new_root = ZERO4
+            else:
+                mode = "zeroToZero"
+                if found_key is not None:
+                    ins_key, ins_value, is_old0 = \
+                        found_key, found_value, False
+
+        # ---- truncate below the work level, then climb rehashing ----
+        for lvl in list(siblings):
+            if lvl > level:
+                del siblings[lvl]
+        while level >= 0:
+            node = siblings[level]
+            new_root = _hash_save(db, node[0:8], node[8:12])
+            phc += 1
+            level -= 1
+            if level >= 0:
+                self._put(siblings[level], keys[level], new_root)
+
+        res.new_root = tuple(new_root)
+        res.mode = mode
+        res.old_value = old_value
+        res.ins_key = tuple(ins_key)
+        res.ins_value = ins_value
+        res.is_old0 = is_old0
+        res.siblings = siblings
+        res.proof_hash_counter = phc
         return res
 
-    def _leaf_for(self, db, key, level: int, value: int):
-        rkey = remove_key_bits(key, level)
-        vh = _hash_value(db, value)
-        return _hash_leaf(db, rkey, vh)
-
-    def _set_rec(self, db, r, path, level, key, value, res):
-        if r == ZERO4:
-            if value == 0:
-                res.mode = res.mode or "zeroToZero"
-                return ZERO4
-            res.mode = res.mode or "insertNotFound"
-            return self._leaf_for(db, key, level, value)
-
-        v = self._read(db, r)
-        if self._is_leaf(v):
-            rkey = tuple(v[0:4])
-            leaf_key = join_key(path[:level], rkey)
-            if leaf_key == tuple(key):
-                if value == 0:
-                    res.mode = res.mode or "deleteFound"
-                    return ZERO4
-                res.mode = res.mode or "update"
-                return self._leaf_for(db, key, level, value)
-            # different leaf on our path
-            if value == 0:
-                res.mode = res.mode or "zeroToZero"
-                return r
-            res.mode = res.mode or "insertFound"
-            other_path = split_key(leaf_key)
-            return self._split(db, path, other_path, level, key, value,
-                               leaf_key, v)
-        # branch node
-        left = tuple(v[0:4])
-        right = tuple(v[4:8])
-        if path[level] == 0:
-            left = self._set_rec(db, left, path, level + 1, key, value, res)
-        else:
-            right = self._set_rec(db, right, path, level + 1, key, value, res)
-        if left == ZERO4 and right == ZERO4:
-            return ZERO4
-        # collapse if the only child is a leaf (delete path shortening)
-        if value == 0:
-            only, is_right = None, None
-            if left == ZERO4 and right != ZERO4:
-                only, is_right = right, True
-            elif right == ZERO4 and left != ZERO4:
-                only, is_right = left, False
-            if only is not None:
-                child = self._read(db, only)
-                if self._is_leaf(child):
-                    # re-key the leaf one level up
-                    crkey = tuple(child[0:4])
-                    child_key = join_key(
-                        path[:level] + [1 if is_right else 0], crkey
-                    )
-                    new_rkey = remove_key_bits(child_key, level)
-                    return _hash_leaf(db, new_rkey, tuple(child[4:8]))
-        return _hash_branch(db, left, right)
-
-    def _split(self, db, path, other_path, level, key, value, other_key,
-               other_leaf):
-        """Create branches until the two keys diverge, then hang both."""
-        if path[level] != other_path[level]:
-            mine = self._leaf_for(db, key, level + 1, value)
-            other_rkey = remove_key_bits(other_key, level + 1)
-            other = _hash_leaf(db, other_rkey, tuple(other_leaf[4:8]))
-            if path[level] == 0:
-                return _hash_branch(db, mine, other)
-            return _hash_branch(db, other, mine)
-        child = self._split(db, path, other_path, level + 1, key, value,
-                            other_key, other_leaf)
-        if path[level] == 0:
-            return _hash_branch(db, child, ZERO4)
-        return _hash_branch(db, ZERO4, child)
+    @staticmethod
+    def _put(node: List[int], bit: int, h) -> None:
+        node[bit * 4: bit * 4 + 4] = list(h)

@@ -109,59 +109,48 @@ def rom_constants(rom_path_or_dict, n: int) -> Dict[str, np.ndarray]:
     return out
 
 
-@functools.lru_cache(maxsize=2)
-def _storage_rom(path: str) -> list:
-    return json.load(open(path))["program"]
-
-
 def storage_constants(storage_rom_path: str, n: int) -> Dict[str, np.ndarray]:
     """The Storage SM micro-ROM compiled to r* constant columns (reference
     storage_sm_rom.json + storage_executor.cpp ROM fields)."""
-    prog = _storage_rom(storage_rom_path)
-    assert len(prog) <= n
-    names = [
-        "rHash", "rHashType", "rLatchGet", "rLatchSet", "rClimbRkey",
-        "rClimbSiblingRkey", "rClimbSiblingRkeyN", "rRotateLevel", "rJmpz",
-        "rJmp", "rConst0", "rConst1", "rConst2", "rConst3", "rAddress",
-        "rLine", "rInFree", "rInNewRoot", "rInOldRoot", "rInRkey",
-        "rInRkeyBit", "rInSiblingRkey", "rInSiblingValueHash", "rInValueLow",
-        "rInValueHigh", "rInRotlVh", "rSetHashLeft", "rSetHashRight",
-        "rSetLevel", "rSetNewRoot", "rSetOldRoot", "rSetRkey", "rSetRkeyBit",
-        "rSetSiblingRkey", "rSetSiblingValueHash", "rSetValueHigh",
-        "rSetValueLow",
-    ]
-    out = {f"Storage.{nm}": np.zeros(n, dtype=np.uint64) for nm in names}
-    key_map = {
-        "rHash": "iHash", "rHashType": "iHashType", "rLatchGet": "iLatchGet",
-        "rLatchSet": "iLatchSet", "rClimbRkey": "iClimbRkey",
-        "rClimbSiblingRkey": "iClimbSiblingRkey",
-        "rClimbSiblingRkeyN": "iClimbSiblingRkeyN",
-        "rRotateLevel": "iRotateLevel", "rJmpz": "iJmpz", "rJmp": "iJmp",
-        "rAddress": "iAddress",
-        "rInFree": "inFREE", "rInNewRoot": "inNEW_ROOT",
-        "rInOldRoot": "inOLD_ROOT", "rInRkey": "inRKEY",
-        "rInRkeyBit": "inRKEY_BIT", "rInSiblingRkey": "inSIBLING_RKEY",
-        "rInSiblingValueHash": "inSIBLING_VALUE_HASH",
-        "rInValueLow": "inVALUE_LOW", "rInValueHigh": "inVALUE_HIGH",
-        "rInRotlVh": "inROTL_VH",
-        "rSetHashLeft": "setHASH_LEFT", "rSetHashRight": "setHASH_RIGHT",
-        "rSetLevel": "setLEVEL", "rSetNewRoot": "setNEW_ROOT",
-        "rSetOldRoot": "setOLD_ROOT", "rSetRkey": "setRKEY",
-        "rSetRkeyBit": "setRKEY_BIT", "rSetSiblingRkey": "setSIBLING_RKEY",
-        "rSetSiblingValueHash": "setSIBLING_VALUE_HASH",
-        "rSetValueHigh": "setVALUE_HIGH", "rSetValueLow": "setVALUE_LOW",
+    from ..executor.sm.storage_executor import load_storage_rom
+    from ..hashdb.smt import scalar2fea
+
+    rom = load_storage_rom(storage_rom_path)
+    assert len(rom) <= n
+    field_map = {
+        "rHash": "i_hash", "rHashType": "i_hash_type",
+        "rLatchGet": "i_latch_get", "rLatchSet": "i_latch_set",
+        "rClimbRkey": "i_climb_rkey",
+        "rClimbSiblingRkey": "i_climb_sibling_rkey",
+        "rClimbSiblingRkeyN": "i_climb_sibling_rkey_n",
+        "rRotateLevel": "i_rotate_level", "rJmpz": "i_jmpz",
+        "rJmp": "i_jmp", "rAddress": "address",
+        "rInFree": "in_free", "rInNewRoot": "in_new_root",
+        "rInOldRoot": "in_old_root", "rInRkey": "in_rkey",
+        "rInRkeyBit": "in_rkey_bit", "rInSiblingRkey": "in_sibling_rkey",
+        "rInSiblingValueHash": "in_sibling_value_hash",
+        "rInValueLow": "in_value_low", "rInValueHigh": "in_value_high",
+        "rInRotlVh": "in_rotl_vh",
+        "rSetHashLeft": "set_hash_left", "rSetHashRight": "set_hash_right",
+        "rSetLevel": "set_level", "rSetNewRoot": "set_new_root",
+        "rSetOldRoot": "set_old_root", "rSetRkey": "set_rkey",
+        "rSetRkeyBit": "set_rkey_bit",
+        "rSetSiblingRkey": "set_sibling_rkey",
+        "rSetSiblingValueHash": "set_sibling_value_hash",
+        "rSetValueHigh": "set_value_high", "rSetValueLow": "set_value_low",
     }
-    for i, line in enumerate(prog):
-        for col, key in key_map.items():
-            v = line.get(key, 0)
+    out = {f"Storage.{nm}": np.zeros(n, dtype=np.uint64)
+           for nm in list(field_map) + ["rConst0", "rConst1", "rConst2",
+                                        "rConst3", "rLine"]}
+    for i, line in enumerate(rom):
+        for col, attr in field_map.items():
+            v = int(getattr(line, attr))
             if v:
-                out[f"Storage.{col}"][i] = int(v) % P
-        const = int(line.get("CONST", 0))
-        for j in range(4):
-            out[f"Storage.rConst{j}"][i] = (const >> (64 * j)) & \
-                ((1 << 64) - 1) if const >= 0 else 0
-        if const < 0:
-            out["Storage.rConst0"][i] = const % P
+                out[f"Storage.{col}"][i] = v % P
+        if line.const is not None:
+            fea = scalar2fea(line.const % (1 << 256))
+            for j in range(4):
+                out[f"Storage.rConst{j}"][i] = fea[j]
         out["Storage.rLine"][i] = i
     return out
 

@@ -14,6 +14,7 @@ driver toward full-PIL proving (reference parity: pil-stark's
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -90,11 +91,13 @@ def _eval(e: Expr, cm: GL, const: GL, publics: Dict[int, int],
 def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
                       const_cols: Dict[str, np.ndarray], n_bits: int,
                       publics: Optional[Dict[int, int]] = None,
-                      rows_mask: Optional[np.ndarray] = None
-                      ) -> ConformanceReport:
+                      rows_mask: Optional[np.ndarray] = None,
+                      strict: bool = True) -> ConformanceReport:
     """cm_cols/const_cols: PIL-name -> (n,) uint64 arrays.  rows_mask:
     optional bool array — violations only counted where True (e.g. mask
-    off padding rows)."""
+    off padding rows).  strict: raise if a provided cm column does not
+    resolve to a PIL name (unmapped columns silently default to zero
+    and can make selector-gated identities pass vacuously)."""
     if isinstance(pil_source, str):
         with open(pil_source) as f:
             pil = json.load(f)
@@ -102,6 +105,8 @@ def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
         pil = pil_source
     n = 1 << n_bits
     air = import_pil(pil, name="conformance")
+    cm_cols = resolve_columns(cm_cols, air.cm_names, strict=strict)
+    const_cols = resolve_columns(const_cols, air.const_names, strict=False)
 
     cm_mat = np.zeros((n, len(air.cm_names)), dtype=np.uint64)
     mapped_cm = 0
@@ -154,25 +159,59 @@ def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
     return report
 
 
-def executor_cm_columns(res) -> Dict[str, np.ndarray]:
-    """Map an ExecuteResult's sm_pols onto PIL column names."""
+_SM_NAMESPACES = (
+    ("main", "Main"), ("arith", "Arith"), ("binary", "Binary"),
+    ("memory", "Mem"), ("memAlign", "MemAlign"), ("storage", "Storage"),
+    ("poseidonG", "PoseidonG"), ("paddingPG", "PaddingPG"),
+    ("paddingKK", "PaddingKK"), ("paddingKKBit", "PaddingKKBit"),
+    ("bits2field", "Bits2Field"), ("keccakF", "KeccakF"),
+)
+
+_ARRAY_RE = re.compile(r"(.+?)_?(\d+)")
+
+
+def resolve_columns(raw: Dict[str, np.ndarray], valid_names,
+                    strict: bool = True) -> Dict[str, np.ndarray]:
+    """Resolve producer column names onto the AIR's PIL names.
+
+    Producers use flat names (``selEq0``, ``a3``, ``m0_1``); the PIL
+    declares arrays (``selEq[0]``).  Exact matches win; otherwise the
+    trailing index is rewritten to array syntax.  Unresolvable producer
+    names are an error under ``strict`` — a silently dropped column
+    defaults to zero in the checker and can make selector-gated
+    identities pass vacuously (that bug hid a real arith trace-format
+    mismatch in round 2)."""
+    valid = set(valid_names)
     out: Dict[str, np.ndarray] = {}
-    main = res.sm_pols.get("main", {})
-    for name, col in main.items():
-        out[f"Main.{name}"] = col
-    arith = res.sm_pols.get("arith", {})
-    for name, col in arith.items():
-        if "_" in name and name.split("_")[-1].isdigit():
-            base, i = name.rsplit("_", 1)
-            out[f"Arith.{base}[{i}]"] = col
-        else:
-            out[f"Arith.{name}"] = col
-    for sm, ns in (("binary", "Binary"), ("memory", "Mem"),
-                   ("memAlign", "MemAlign"), ("storage", "Storage"),
-                   ("poseidonG", "PoseidonG"), ("paddingPG", "PaddingPG"),
-                   ("paddingKK", "PaddingKK"),
-                   ("paddingKKBit", "PaddingKKBit"),
-                   ("bits2field", "Bits2Field"), ("keccakF", "KeccakF")):
-        for name, col in res.sm_pols.get(sm, {}).items():
-            out[f"{ns}.{name}"] = col
+    unresolved = []
+    for full, col in raw.items():
+        if full in valid:
+            out[full] = col
+            continue
+        ns, name = full.split(".", 1)
+        m = _ARRAY_RE.fullmatch(name)
+        if m:
+            cand = f"{ns}.{m.group(1)}[{int(m.group(2))}]"
+            if cand in valid:
+                out[cand] = col
+                continue
+        unresolved.append(full)
+    if unresolved and strict:
+        raise ValueError(
+            f"{len(unresolved)} producer columns do not resolve to PIL "
+            f"cm names: {unresolved[:20]}")
     return out
+
+
+def executor_cm_columns(res, air=None, strict: bool = True
+                        ) -> Dict[str, np.ndarray]:
+    """Map an ExecuteResult's sm_pols onto PIL column names.  With an
+    AIR, array-style names are resolved and unknown producer columns
+    raise (see resolve_columns)."""
+    raw: Dict[str, np.ndarray] = {}
+    for sm, ns in _SM_NAMESPACES:
+        for name, col in res.sm_pols.get(sm, {}).items():
+            raw[f"{ns}.{name}"] = col
+    if air is None:
+        return raw
+    return resolve_columns(raw, air.cm_names, strict=strict)

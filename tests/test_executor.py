@@ -133,7 +133,7 @@ def test_storage_write_read():
         halt(4),
     ])
     assert fea2scalar(ctx.A) == 999
-    assert any(s["op"] == "set" for s in ctx.required.storage)
+    assert any(s.b_is_set for s in ctx.required.storage)
     assert ctx.counters.poseidon_g >= 4
 
 

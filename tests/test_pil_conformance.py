@@ -39,10 +39,14 @@ def test_zkevm_pil_conformance_on_real_batch():
     res = ex.execute(load_input(d))
     cm = executor_cm_columns(res)
     const = zc.build_all(1 << n_bits)
-    rep = check_conformance(PIL, cm, const, n_bits)
+    # strict=False until every keccak-pipeline producer emits PIL-exact
+    # column names (PaddingPG/KK lastBlock, KeccakF a/b/c split)
+    rep = check_conformance(PIL, cm, const, n_bits, strict=False)
     print("\n" + rep.summary())
-    # ratchet: round-2 floor is 549/631 — raise as column parity improves
-    assert rep.n_passed >= 545, rep.summary()
+    # ratchet: round-3 floor is 548/631 with the selEq mapping fixed
+    # (round 2's 549 included vacuously-passing arith identities)
+    assert rep.n_passed >= 548, rep.summary()
     assert rep.by_file["arith.pil"] == (179, 179)
     assert rep.by_file["mem_align.pil"] == (52, 52)
     assert rep.by_file["poseidong.pil"] == (26, 26)
+    assert rep.by_file["storage.pil"] == (46, 46)

@@ -147,24 +147,33 @@ def test_storage_executor_replay():
     h = HashDB()
     k1 = (5, 0, 0, 0)
     k2 = (7, 1, 0, 0)
-    r1 = h.set("b", 0, ZERO4, k1, 111).new_root
-    r2 = h.set("b", 0, r1, k2, 222).new_root
-    actions = [
-        {"op": "set", "root": ZERO4, "key": k1, "value": 111, "newRoot": r1},
-        {"op": "set", "root": r1, "key": k2, "value": 222, "newRoot": r2},
-        {"op": "get", "root": r2, "key": k1, "value": 111},
-    ]
+    s1 = h.set("b", 0, ZERO4, k1, 111)
+    s2 = h.set("b", 0, s1.new_root, k2, 222)
+    g1 = h.get(s2.new_root, k1)
+    assert g1.value == 111
+    actions = [s1, s2, g1]
     ex = StorageExecutor()
     req_pg = []
-    pols = ex.execute(actions, 64, hashdb=h, required_poseidon=req_pg)
-    assert pols["latch"].sum() == 3
+    n = 1 << 10
+    pols = ex.execute(actions, n, required_poseidon=req_pg)
+    assert pols["iLatchSet"].sum() == 2
+    assert pols["iLatchGet"].sum() == 1
     assert len(req_pg) >= 3
-    # corrupted root rejected
-    bad = [{"op": "get", "root": (1, 2, 3, 4), "key": k1, "value": 0}]
+    # micro-ROM wrap: last row jumps back to pc=0
+    assert pols["pc"][0] == 0 and pols["iJmp"][n - 1] == 1
+    # the set's latch row pins the new root registers
+    latch_row = int(pols["iLatchSet"].nonzero()[0][0])
+    assert tuple(int(pols[f"newRoot{j}"][latch_row]) for j in range(4)) \
+        == tuple(s1.new_root)
+    # corrupted action rejected at the latch
+    import copy
+
     import pytest as _pytest
 
-    with _pytest.raises((ValueError, KeyError)):
-        ex.execute(bad, 64, hashdb=h)
+    bad = copy.deepcopy(g1)
+    bad.value = 999
+    with _pytest.raises((ValueError, KeyError, AssertionError)):
+        ex.execute([bad], n)
 
 
 def test_keccak_gate_script_matches_keccak_f():
