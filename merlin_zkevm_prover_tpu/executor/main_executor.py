@@ -406,6 +406,14 @@ class MainExecutor:
                     raise ExecutorError(
                         "HASHP", f"hashPDigest mismatch at zkPC={ctx.zkPC}")
 
+        # ---- op range proof: sWR/hashPDigest push a type-2 Binary action
+        # (SUB op-0 == op) proving op is a canonical 256-bit value
+        # (reference main_executor.cpp:2674-2694) ----
+        if line.flag("hashPDigest") or line.flag("sWR"):
+            v = fea2scalar(op)
+            ctx.required.binary.append(
+                {"a": v, "b": 0, "c": v, "opcode": 1, "type": 2})
+
         # ---- setters ----
         if line.flag("setA"):
             ctx.A = list(op)

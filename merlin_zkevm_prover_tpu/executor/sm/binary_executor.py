@@ -1,144 +1,190 @@
-"""Binary SM (reference src/sm/binary/binary_executor.cpp:31-460).
+"""Binary SM (reference src/sm/binary/binary_executor.cpp).
 
-Each 256-bit operation expands to LATCH_SIZE = 16 rows processing 2 bytes
-per row (little-endian), with byte-level carry chains per opcode and the
-a/b/c registers accumulating across the cycle.  Opcodes: 0 ADD, 1 SUB,
-2 LT, 3 SLT, 4 EQ, 5 AND, 6 OR, 7 XOR (carry/useCarry semantics per the
-reference FACTOR/carry tables).
+Each 256-bit operation occupies 16 rows (STEPS), two bytes per row
+(little-endian): row j carries bytes 2j (freeIn*[0]) and 2j+1
+(freeIn*[1]).  Eight 32-bit accumulator registers a[0..7]/b/c fill via
+the FACTOR tables (register j accumulates at rows 2j, 2j+1 of each
+16-row block; factor 1 then 2^16).  Carry chains run byte-by-byte
+through cIn/cMiddle/cOut with opcode-specific semantics
+(binary_executor.cpp:150-310); lCout/lOpcode latch the previous row's
+carry/opcode; resultBinOp (type-1 actions) or resultValidRange (type-2
+range checks from sWR/hashPDigest) is set on the row after the action.
+
+Opcodes: 0 ADD, 1 SUB, 2 LT, 3 SLT, 4 EQ, 5 AND, 6 OR, 7 XOR.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-LATCH_SIZE = 16
-BYTES_PER_ROW = 2
+STEPS = 16
+REGISTERS = 8
+M256 = (1 << 256) - 1
 
-ADD, SUB, LT, SLT, EQ, AND, OR, XOR = range(8)
 
-
-def _bytes_le(v: int) -> List[int]:
-    return [(v >> (8 * i)) & 0xFF for i in range(32)]
+def byte_op(opcode: int, cin: int, last_byte: int, a: int, b: int,
+            c: int = 0) -> Tuple[int, int]:
+    """(cOut, useCarry) for one byte step — the reference's switch
+    (binary_executor.cpp:150-310).  `c` is only read by AND."""
+    if opcode == 0:                       # ADD
+        return (a + b + cin) >> 8, 0
+    if opcode == 1:                       # SUB
+        return (1 if a - cin < b else 0), 0
+    if opcode == 2:                       # LT
+        cout = 1 if a < b else (cin if a == b else 0)
+        return cout, (1 if last_byte else 0)
+    if opcode == 3:                       # SLT: sign at the top byte
+        if last_byte:
+            sa, sb = a >> 7, b >> 7
+            if sa > sb:
+                cout = 1
+            elif sa < sb:
+                cout = 0
+            else:
+                cout = 1 if a < b else (cin if a == b else 0)
+            return cout, 1
+        cout = 1 if a < b else (cin if a == b else 0)
+        return cout, 0
+    if opcode == 4:                       # EQ: carry = "differ so far"
+        cout = 0 if (a == b and cin == 0) else 1
+        if last_byte:
+            return 1 - cout, 1
+        return cout, 0
+    if opcode == 5:                       # AND: carry = "any nonzero byte"
+        return (0 if (c == 0 and cin == 0) else 1), 0
+    return 0, 0                           # OR / XOR
 
 
 class BinaryExecutor:
     COLUMNS = (
-        ["opcode", "cIn", "cMiddle", "cOut", "lCout", "lOpcode", "useCarry",
-         "resultBinOp"]
-        + [f"freeInA{i}" for i in range(2)]
-        + [f"freeInB{i}" for i in range(2)]
-        + [f"freeInC{i}" for i in range(2)]
-        + [f"a{i}" for i in range(8)]
-        + [f"b{i}" for i in range(8)]
-        + [f"c{i}" for i in range(8)]
+        [f"freeInA{k}" for k in range(2)]
+        + [f"freeInB{k}" for k in range(2)]
+        + [f"freeInC{k}" for k in range(2)]
+        + [f"a{j}" for j in range(REGISTERS)]
+        + [f"b{j}" for j in range(REGISTERS)]
+        + [f"c{j}" for j in range(REGISTERS)]
+        + ["opcode", "cIn", "cMiddle", "cOut", "lCout", "lOpcode",
+           "useCarry", "resultBinOp", "resultValidRange"]
     )
 
     def execute(self, actions: List[dict], n: int) -> Dict[str, np.ndarray]:
-        if len(actions) * LATCH_SIZE > n:
+        if len(actions) * STEPS > n:
             raise ValueError("binary SM overflow")
         pols = {c: np.zeros(n, dtype=np.uint64) for c in self.COLUMNS}
-        row = 0
-        for act in actions:
-            row = self._fill_action(pols, row, act)
+        for i, act in enumerate(actions):
+            self._check(act)
+            a_by = [(act["a"] >> (8 * k)) & 0xFF for k in range(32)]
+            b_by = [(act["b"] >> (8 * k)) & 0xFF for k in range(32)]
+            c_by = [(act["c"] >> (8 * k)) & 0xFF for k in range(32)]
+            opcode = act["opcode"]
+            for j in range(STEPS):
+                idx = i * STEPS + j
+                nxt = (idx + 1) % n
+                reset = j == 0
+                last = j == STEPS - 1
+                pols["opcode"][idx] = opcode
+                cin0 = int(pols["cIn"][idx])
+                free_c = [c_by[2 * j], c_by[2 * j + 1]]
+                use_carry = 0
+                couts = [0, 0]
+                for k in range(2):
+                    cin = cin0 if k == 0 else couts[0]
+                    ba, bb = a_by[2 * j + k], b_by[2 * j + k]
+                    bc = c_by[2 * j + k]
+                    last_byte = last and k == 1
+                    # LT/SLT/EQ override freeInC on reset/last rows
+                    # (the c registers hold the 0/1 result, its bytes
+                    # come from positions 15 / 0)
+                    if opcode in (2, 3, 4):
+                        if reset and k == 0:
+                            free_c[0] = c_by[STEPS - 1]
+                        if last_byte:
+                            free_c[1] = c_by[0]
+                            use_carry = 1
+                    cout, _ = byte_op(opcode, cin, 1 if last_byte else 0,
+                                      ba, bb, bc)
+                    couts[k] = cout
+                if opcode == 3 and last:
+                    use_carry = 1
+                for k in range(2):
+                    pols[f"freeInA{k}"][idx] = a_by[2 * j + k]
+                    pols[f"freeInB{k}"][idx] = b_by[2 * j + k]
+                    pols[f"freeInC{k}"][idx] = free_c[k]
+                pols["cMiddle"][idx] = couts[0]
+                pols["cOut"][idx] = couts[1]
+                pols["useCarry"][idx] = use_carry
+
+                next_reset = nxt % STEPS == 0
+                pols["cIn"][nxt] = 0 if next_reset else couts[1]
+                pols["lCout"][nxt] = couts[1]
+                pols["lOpcode"][nxt] = opcode
+                self._advance(pols, idx, nxt, reset, last, use_carry)
+            if act.get("type", 1) == 1:
+                pols["resultBinOp"][(i + 1) * STEPS % n] = 1
+            else:
+                pols["resultValidRange"][(i + 1) * STEPS % n] = 1
+        # idle tail + wrap: propagate the (all-zero) register transitions
+        for idx in range(len(actions) * STEPS, n):
+            nxt = (idx + 1) % n
+            self._advance(pols, idx, nxt, idx % STEPS == 0, False, 0)
         return pols
 
-    def _carry_step(self, opcode: int, abyte: int, bbyte: int, cbyte: int,
-                    cin: int, byte_idx: int, a_full: int, b_full: int) -> int:
-        if opcode == ADD:
-            return 1 if abyte + bbyte + cin > 0xFF else 0
-        if opcode == SUB:
-            return 1 if abyte - cin < bbyte else 0
-        if opcode in (LT, SLT):
-            # carry tracks the running "a < b" from LSB upward
-            if abyte < bbyte:
-                return 1
-            if abyte > bbyte:
-                return 0
-            return cin
-        if opcode == EQ:
-            # carry tracks "equal so far"
-            if byte_idx == 0:
-                return 1 if abyte == bbyte else 0
-            return cin if abyte == bbyte else 0
-        return 0
-
-    def _fill_action(self, pols, row: int, act: dict) -> int:
-        opcode = act["opcode"]
-        a = _bytes_le(act["a"])
-        b = _bytes_le(act["b"])
-        c = _bytes_le(act["c"])
-        cin = 0
-        acc_a = [0] * 8
-        acc_b = [0] * 8
-        acc_c = [0] * 8
-        use_carry = 1 if opcode in (LT, SLT, EQ) else 0
-        carry = cin
-        for j in range(LATCH_SIZE):
-            r = row + j
-            pols["opcode"][r] = opcode
-            pols["cIn"][r] = carry
-            for kk in range(BYTES_PER_ROW):
-                byte_idx = j * BYTES_PER_ROW + kk
-                ab, bb, cb = a[byte_idx], b[byte_idx], c[byte_idx]
-                pols[f"freeInA{kk}"][r] = ab
-                pols[f"freeInB{kk}"][r] = bb
-                pols[f"freeInC{kk}"][r] = cb
-                limb = byte_idx // 4
-                shift = 8 * (byte_idx % 4)
-                acc_a[limb] |= ab << shift
-                acc_b[limb] |= bb << shift
-                acc_c[limb] |= cb << shift
-                new_carry = self._carry_step(
-                    opcode, ab, bb, cb, carry, byte_idx, act["a"], act["b"]
-                )
-                if kk == 0:
-                    pols["cMiddle"][r] = new_carry
-                carry = new_carry
-            pols["cOut"][r] = carry
-            for i in range(8):
-                pols[f"a{i}"][r] = acc_a[i]
-                pols[f"b{i}"][r] = acc_b[i]
-                pols[f"c{i}"][r] = acc_c[i]
-            if j == LATCH_SIZE - 1:
-                pols["lCout"][r] = carry
-                pols["lOpcode"][r] = opcode
-                pols["useCarry"][r] = use_carry
-                pols["resultBinOp"][r] = 1
-        # SLT final: sign bits flip the comparison
-        final = row + LATCH_SIZE - 1
-        if opcode == SLT:
-            sa = (act["a"] >> 255) & 1
-            sb = (act["b"] >> 255) & 1
-            if sa != sb:
-                pols["lCout"][final] = 1 if sa == 1 else 0
-        self._check(act, int(pols["lCout"][final]))
-        return row + LATCH_SIZE
+    @staticmethod
+    def _advance(pols, idx: int, nxt: int, reset: bool, last: bool,
+                 use_carry: int) -> None:
+        """Register accumulation (binary_executor.cpp:312-345): register
+        (idx//2)%8 absorbs this row's two bytes at factor 1 / 2^16."""
+        reg = (idx // 2) % REGISTERS
+        factor = 1 if idx % 2 == 0 else 1 << 16
+        for name, fa in (("a", "freeInA"), ("b", "freeInB")):
+            for j in range(REGISTERS):
+                v = 0 if reset else int(pols[f"{name}{j}"][idx])
+                if j == reg:
+                    v += int(pols[f"{fa}0"][idx]) * factor \
+                        + 256 * int(pols[f"{fa}1"][idx]) * factor
+                pols[f"{name}{j}"][nxt] = v
+        c0 = 0 if reset else int(pols["c0"][idx])
+        if reg == 0:
+            c0 += int(pols["freeInC0"][idx]) * factor \
+                + 256 * int(pols["freeInC1"][idx]) * factor
+        pols["c0"][nxt] = int(pols["cOut"][idx]) if use_carry else c0
+        for j in range(1, REGISTERS):
+            if last and use_carry:
+                pols[f"c{j}"][nxt] = 0
+                continue
+            v = 0 if reset else int(pols[f"c{j}"][idx])
+            if j == reg:
+                v += int(pols["freeInC0"][idx]) * factor \
+                    + 256 * int(pols["freeInC1"][idx]) * factor
+            pols[f"c{j}"][nxt] = v
 
     @staticmethod
-    def _check(act: dict, carry_out: int):
+    def _check(act: dict):
+        """Semantic validation before committing the trace."""
         a, b, c, opcode = act["a"], act["b"], act["c"], act["opcode"]
-        m = (1 << 256) - 1
-        if opcode == ADD:
-            ok = c == (a + b) & m and carry_out == (1 if a + b > m else 0)
-        elif opcode == SUB:
-            ok = c == (a - b) & m and carry_out == (1 if a < b else 0)
-        elif opcode == LT:
-            ok = (c == (1 if a < b else 0)) and carry_out == c
-        elif opcode == SLT:
+        if opcode == 0:
+            ok = c == (a + b) & M256
+        elif opcode == 1:
+            ok = c == (a - b) & M256
+        elif opcode == 2:
+            ok = c == (1 if a < b else 0)
+        elif opcode == 3:
             sa = a - (1 << 256) if a >> 255 else a
             sb = b - (1 << 256) if b >> 255 else b
-            ok = (c == (1 if sa < sb else 0)) and carry_out == c
-        elif opcode == EQ:
+            ok = c == (1 if sa < sb else 0)
+        elif opcode == 4:
             ok = c == (1 if a == b else 0)
-        elif opcode == AND:
-            ok = c == a & b
-        elif opcode == OR:
-            ok = c == a | b
-        elif opcode == XOR:
-            ok = c == a ^ b
+        elif opcode == 5:
+            ok = c == (a & b)
+        elif opcode == 6:
+            ok = c == (a | b)
+        elif opcode == 7:
+            ok = c == (a ^ b)
         else:
-            ok = True
+            raise ValueError(f"bad binary opcode {opcode}")
         if not ok:
-            raise ValueError(f"binary trace check failed: {act}")
+            raise ValueError(
+                f"binary action inconsistent: op={opcode} a={hex(a)} "
+                f"b={hex(b)} c={hex(c)}")

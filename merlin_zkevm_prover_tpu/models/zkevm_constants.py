@@ -57,7 +57,10 @@ def global_constants(n: int) -> Dict[str, np.ndarray]:
         "Global.L1": (i == 0).astype(np.uint64),
         "Global.LLAST": (i == n - 1).astype(np.uint64),
         "Global.BYTE": i % 256,
-        "Global.BYTE_2A": (i % 256) * 2,       # doubled-byte helper table
+        # second byte dimension: (BYTE_2A, BYTE) enumerates all byte
+        # pairs over a 2^16 period (mem_align.pil:110 {inM[1], inM[0]},
+        # binary.pil:86 freeInA/freeInB images)
+        "Global.BYTE_2A": (i >> 8) % 256,
         "Global.BYTE2": i % 65536,
         "Global.STEP": i.copy(),
         "Global.STEP32": i % 32,
@@ -246,79 +249,80 @@ def keccak_f_constants(n: int) -> Dict[str, np.ndarray]:
 
 
 def binary_constants(n: int) -> Dict[str, np.ndarray]:
-    """The Binary SM byte-operation lookup table: rows enumerate
-    (opcode, cin, last, a_byte, b_byte) -> (c_byte, cout, useCarry)
-    (reference binary_executor.cpp FACTOR/P_* tables).  The full table is
-    2^21 rows; at smaller domains a truncated prefix is produced."""
-    p_opcode = np.zeros(n, dtype=np.uint64)
-    p_a = np.zeros(n, dtype=np.uint64)
-    p_b = np.zeros(n, dtype=np.uint64)
-    p_cin = np.zeros(n, dtype=np.uint64)
-    p_last = np.zeros(n, dtype=np.uint64)
-    p_c = np.zeros(n, dtype=np.uint64)
-    p_cout = np.zeros(n, dtype=np.uint64)
-    p_use_carry = np.zeros(n, dtype=np.uint64)
-    i = 0
-    for opcode in range(8):
-        for cin in range(2):
-            for last in range(2):
-                for a in range(256):
-                    for b in range(256):
-                        if i >= n:
-                            return {
-                                "Binary.P_OPCODE": p_opcode,
-                                "Binary.P_A": p_a, "Binary.P_B": p_b,
-                                "Binary.P_CIN": p_cin,
-                                "Binary.P_LAST": p_last,
-                                "Binary.P_C": p_c,
-                                "Binary.P_COUT": p_cout,
-                                "Binary.P_USE_CARRY": p_use_carry,
-                            }
-                        c, cout, use = _binary_byte(opcode, cin, last, a, b)
-                        p_opcode[i] = opcode
-                        p_a[i] = a
-                        p_b[i] = b
-                        p_cin[i] = cin
-                        p_last[i] = last
-                        p_c[i] = c
-                        p_cout[i] = cout
-                        p_use_carry[i] = use
-                        i += 1
-    return {
-        "Binary.P_OPCODE": p_opcode, "Binary.P_A": p_a, "Binary.P_B": p_b,
-        "Binary.P_CIN": p_cin, "Binary.P_LAST": p_last, "Binary.P_C": p_c,
-        "Binary.P_COUT": p_cout, "Binary.P_USE_CARRY": p_use_carry,
-    }
+    """The Binary SM tables (reference binary_executor.cpp byte semantics
+    + buildFactors).
 
+    Index mapping, pinned so (Global.BYTE_2A, Global.BYTE) carry the
+    byte pair: i = opcode*2^18 + cin*2^17 + last*2^16 + a*2^8 + b.  The
+    full table is 2^21 rows; at smaller domains a truncated prefix is
+    produced (sufficient for polIdentity conformance; the plookup needs
+    N >= 2^21).  FACTOR[j] places register j's two row-slots (factor 1
+    then 2^16) in each 16-row block (buildFactors comment)."""
+    idx = np.arange(n, dtype=np.uint64)
+    out: Dict[str, np.ndarray] = {}
+    reg = (idx // 2) % 8
+    fval = np.where(idx % 2 == 0, np.uint64(1), np.uint64(1 << 16))
+    for j in range(8):
+        out[f"Binary.FACTOR[{j}]"] = np.where(reg == j, fval, np.uint64(0))
 
-def _binary_byte(opcode, cin, last, a, b):
-    """Byte-level op semantics (reference binary_executor.cpp:31-60)."""
-    if opcode == 0:      # ADD
-        s = a + b + cin
-        return s & 0xFF, s >> 8, 0
-    if opcode == 1:      # SUB
-        d = a - b - cin
-        return d & 0xFF, 1 if d < 0 else 0, 0
-    if opcode == 2:      # LT (bytes LSB->MSB; cin = "less so far")
-        cout = 1 if a < b else (cin if a == b else 0)
-        return (cout if last else 0), cout, (1 if last else 0)
-    if opcode == 3:      # SLT (sign compared at the top byte)
-        if last:
-            sa, sb = a ^ 0x80, b ^ 0x80
-            cout = 1 if sa < sb else (cin if sa == sb else 0)
-            return cout, cout, 1
-        return _binary_byte(2, cin, 0, a, b)
-    if opcode == 4:      # EQ (cin starts 1: "equal so far")
-        cout = 1 if (a == b and cin) else 0
-        return (cout if last else 0), cout, (1 if last else 0)
-    if opcode == 5:      # AND
-        c = a & b
-        return c, 1 if (cin or c != 0) else 0, 0
-    if opcode == 6:      # OR
-        return a | b, 0, 0
-    if opcode == 7:      # XOR
-        return a ^ b, 0, 0
-    raise ValueError(opcode)
+    m = min(n, 1 << 21)
+    i = np.arange(m, dtype=np.int64)
+    b = i & 0xFF
+    a = (i >> 8) & 0xFF
+    last = (i >> 16) & 1
+    cin = (i >> 17) & 1
+    opcode = i >> 18
+    c = np.zeros(m, dtype=np.int64)
+    cout = np.zeros(m, dtype=np.int64)
+    use = np.zeros(m, dtype=np.int64)
+    lt_chain = np.where(a < b, 1, np.where(a == b, cin, 0))
+    for o in range(8):
+        s = opcode == o
+        if o == 0:                          # ADD
+            tot = a + b + cin
+            c[s] = (tot & 0xFF)[s]
+            cout[s] = (tot >> 8)[s]
+        elif o == 1:                        # SUB
+            d = a - cin - b
+            c[s] = (d & 0xFF)[s]
+            cout[s] = (d < 0)[s]
+        elif o == 2:                        # LT
+            cout[s] = lt_chain[s]
+            c[s] = np.where(last, lt_chain, 0)[s]
+            use[s] = last[s]
+        elif o == 3:                        # SLT (sign at last byte)
+            sa, sb = a >> 7, b >> 7
+            sign = np.where(sa > sb, 1, np.where(sa < sb, 0, lt_chain))
+            cc = np.where(last, sign, lt_chain)
+            cout[s] = cc[s]
+            c[s] = np.where(last, cc, 0)[s]
+            use[s] = last[s]
+        elif o == 4:                        # EQ (carry = "differ so far")
+            raw = np.where((a == b) & (cin == 0), 0, 1)
+            cc = np.where(last, 1 - raw, raw)
+            cout[s] = cc[s]
+            c[s] = np.where(last, cc, 0)[s]
+            use[s] = last[s]
+        elif o == 5:                        # AND (carry = "any nonzero")
+            cb = a & b
+            c[s] = cb[s]
+            cout[s] = np.where((cb == 0) & (cin == 0), 0, 1)[s]
+        elif o == 6:                        # OR
+            c[s] = (a | b)[s]
+        else:                               # XOR
+            c[s] = (a ^ b)[s]
+
+    def col(v):
+        full = np.zeros(n, dtype=np.uint64)
+        full[:m] = v.astype(np.uint64)
+        return full
+
+    out.update({
+        "Binary.P_OPCODE": col(opcode), "Binary.P_CIN": col(cin),
+        "Binary.P_LAST": col(last), "Binary.P_C": col(c),
+        "Binary.P_COUT": col(cout), "Binary.P_USE_CARRY": col(use),
+    })
+    return out
 
 
 def build_all(n: int,

@@ -31,12 +31,15 @@ def test_binary_traces():
         {"a": 0b1100, "b": 0b1010, "c": 0b0110, "opcode": 7},      # XOR
     ]
     pols = ex.execute(acts, 256)
-    # ADD with wraparound sets final carry
-    assert pols["lCout"][15] == 1
-    assert pols["resultBinOp"][15] == 1
-    # registers accumulate the full values on the last row of each cycle
-    c_row15 = sum(int(pols[f"c{i}"][15]) << (32 * i) for i in range(8))
-    assert c_row15 == (a + 5) & M256
+    # ADD with wraparound sets final carry; results live on the latch row
+    # (16 rows per action, reference STEPS)
+    assert pols["lCout"][16] == 1
+    assert pols["resultBinOp"][16] == 1
+    # registers hold the full accumulated values on the latch row
+    c_latch = sum(int(pols[f"c{i}"][16]) << (32 * i) for i in range(8))
+    assert c_latch == (a + 5) & M256
+    # LT result: c0 register carries the 0/1 result at its latch row
+    assert pols["c0"][3 * 16] == 1 and pols["useCarry"][3 * 16 - 1] == 1
     # bad trace rejected
     with pytest.raises(ValueError):
         ex.execute([{"a": 1, "b": 1, "c": 3, "opcode": 0}], 64)
@@ -133,7 +136,7 @@ def test_full_executor_dispatch():
     ex = Executor(rom, n_bits=10)
     res = ex.execute()
     assert res.ctx.counters.binary == 1
-    assert res.sm_pols["binary"]["resultBinOp"][15] == 1
+    assert res.sm_pols["binary"]["resultBinOp"][16] == 1
     assert res.sm_pols["memory"]["mOp"][0] == 1
     pb = ex.process_batch()
     assert pb.counters["cntBinary"] == 1

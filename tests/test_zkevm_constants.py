@@ -58,15 +58,26 @@ def test_poseidon_g_layout():
 
 
 def test_binary_table_semantics():
+    tab = zc.binary_constants(1 << 21)
+
+    def row(opcode, cin, last, a, b):
+        i = (opcode << 18) | (cin << 17) | (last << 16) | (a << 8) | b
+        return (int(tab["Binary.P_C"][i]), int(tab["Binary.P_COUT"][i]),
+                int(tab["Binary.P_USE_CARRY"][i]))
+
     # ADD byte: 200 + 100 + 1 = 301 -> c=45, cout=1
-    c, cout, use = zc._binary_byte(0, 1, 0, 200, 100)
-    assert (c, cout) == (45, 1)
-    # LT chain: a<b at this byte -> cout 1
-    c, cout, use = zc._binary_byte(2, 0, 1, 3, 5)
-    assert (c, cout, use) == (1, 1, 1)
-    # EQ chain: equal and cin=1 stays 1
-    c, cout, use = zc._binary_byte(4, 1, 0, 9, 9)
-    assert cout == 1 and c == 0
+    assert row(0, 1, 0, 200, 100) == (45, 1, 0)
+    # LT last byte: a<b -> result 1, useCarry
+    assert row(2, 0, 1, 3, 5) == (1, 1, 1)
+    # EQ mid byte: equal with carry "differ"=1 stays 1, c byte is 0
+    assert row(4, 1, 0, 9, 9) == (0, 1, 0)
+    # EQ last byte: all equal -> inverted carry = 1
+    assert row(4, 0, 1, 9, 9) == (1, 1, 1)
+    # FACTOR places register (i//2)%8 with factor 1 then 2^16
+    assert tab["Binary.FACTOR[0]"][0] == 1
+    assert tab["Binary.FACTOR[0]"][1] == 1 << 16
+    assert tab["Binary.FACTOR[1]"][2] == 1
+    assert tab["Binary.FACTOR[0]"][2] == 0
 
 
 @needs_ref
