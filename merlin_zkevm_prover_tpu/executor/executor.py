@@ -16,7 +16,31 @@ import numpy as np
 
 from ..hashdb.hashdb import HashDB
 from ..utils.timer import TimerLog
-from .main_executor import Context, MainExecutor
+from .main_executor import Context, HashState, MainExecutor
+
+
+def collect_hash_inputs(table: Dict[int, "HashState"]) -> list:
+    """Assemble padding-SM inputs from the Main SM's hash streams, in
+    address order (reference main_executor.cpp:4251-4305): the per-
+    position read sizes become the sequential `reads` list, gaps read as
+    single bytes."""
+    out = []
+    for addr in sorted(table):
+        hs = table[addr]
+        reads = []
+        p = 0
+        while p < len(hs.data):
+            r = hs.read_len.get(p, 0)
+            if r:
+                reads.append(r)
+                p += r
+            else:
+                reads.append(1)
+                p += 1
+        out.append({"addr": addr, "data": bytes(hs.data), "reads": reads,
+                    "lenCalled": hs.len_called,
+                    "digestCalled": hs.digest_called})
+    return out
 from .rom import Rom
 from .sm import (
     ArithExecutor,
@@ -41,6 +65,8 @@ class ProcessBatchResult:
 class ExecuteResult:
     ctx: Context
     sm_pols: Dict[str, Dict[str, np.ndarray]] = field(default_factory=dict)
+    # set when the keccak streams did not fit the domain (needs >= 2^18)
+    keccak_overflow: bool = False
 
 
 class Executor:
@@ -94,25 +120,23 @@ class Executor:
             res.sm_pols["storage"] = self.storage.execute(
                 req.storage, self.n, required_poseidon=storage_req)
             pg_pols, pg_required = self.padding_pg.execute(
-                req.padding_pg_inputs, self.n)
+                collect_hash_inputs(ctx.hash_p), self.n)
             res.sm_pols["paddingPG"] = pg_pols
             return self.poseidon_g.execute(
                 req.poseidon_g + storage_req + pg_required, self.n)
 
         def keccak_all():
-            # one keccak-f slot = ~155k gate rows (reference
-            # keccak_config.hpp:21-28); at reduced domains size the gate
-            # region independently so small-N test runs still fit
-            from .sm.keccak_f_script import build_keccak_f_program
-
-            n_gates = len(build_keccak_f_program().gates)
-            n_blocks = sum(
-                (len(data) + 136) // 136 for data in req.keccak_inputs
-            )
-            n_slots = -(-max(n_blocks, 1) // 44)
-            need = 1 + n_slots * n_gates
-            nk = max(self.n, 1 << (need - 1).bit_length())
-            out = run_keccak_pipeline(req.keccak_inputs, nk)
+            # one keccak-f slot = ~158k gate rows (reference
+            # keccak_config.hpp:21-28 scale): a domain below 2^18 holds
+            # zero slots, so real keccak data cannot fit — produce the
+            # conformant empty-pipeline trace and surface the real data
+            # separately (checked at a big-enough domain in its own test)
+            inputs = collect_hash_inputs(ctx.hash_k)
+            try:
+                out = run_keccak_pipeline(inputs, self.n)
+            except ValueError:
+                res.keccak_overflow = True
+                out = run_keccak_pipeline([], self.n)
             res.sm_pols["paddingKK"] = out["paddingKK"]
             res.sm_pols["paddingKKBit"] = out["paddingKKBit"]
             res.sm_pols["bits2field"] = out["bits2field"]

@@ -83,6 +83,7 @@ class HashState:
     data: bytearray = field(default_factory=bytearray)
     read_len: Dict[int, int] = field(default_factory=dict)
     len_called: bool = False
+    digest_called: bool = False
     digest: Optional[int] = None
 
 
@@ -137,6 +138,9 @@ class Context:
     # optional Main-pols recorder (executor/main_pols.py)
     pols: object = None
     last_skey: Optional[tuple] = None
+    # per-row counter increment (reference pols.incCounter, set at
+    # sRD/sWR/hashKDigest/hashPDigest rows, main_executor.cpp:4008-4011)
+    step_inc_counter: int = 0
 
 
 def sr8to4(sr8: List[int]) -> Tuple[int, int, int, int]:
@@ -190,6 +194,7 @@ class MainExecutor:
             from .main_pols import MainPolsRecorder
 
             ctx.pols = MainPolsRecorder(self.max_steps)
+            ctx.N = self.max_steps
         if (input_data or {}).get("traceConfig", {}).get("enabled") or \
                 record_trace:
             from .full_tracer import FullTracer
@@ -198,9 +203,10 @@ class MainExecutor:
         # initState (reference main_executor.cpp:4351-4367): B=oldStateRoot,
         # C=oldAccInputHash, SP=oldBatchNum, GAS=chainID, CTX=forkID
         inp = ctx.input_data
+        # (SR is NOT preset: the ROM's start sequence assigns SR from B,
+        # reference initState main_executor.cpp:4351-4367 sets B/C/SP/GAS/CTX)
         if "oldStateRoot" in inp:
             ctx.B = fea8(int(inp["oldStateRoot"]))
-            ctx.SR = fea8(int(inp["oldStateRoot"]))
         if "oldAccInputHash" in inp:
             ctx.C = fea8(int(inp["oldAccInputHash"]))
         ctx.SP = int(inp.get("oldNumBatch", 0))
@@ -215,6 +221,8 @@ class MainExecutor:
             line = self.rom.lines[ctx.zkPC]
             finished = self._step(ctx, line, eval_command, record_trace)
             ctx.counters.steps += 1
+        if ctx.pols is not None:
+            ctx.pols.finalize_wrap(ctx)
         return ctx
 
     # ------------------------------------------------------------------
@@ -233,6 +241,7 @@ class MainExecutor:
         counters_pre = Counters(**ctx.counters.__dict__) \
             if ctx.pols is not None else None
         ctx.last_skey = None
+        ctx.step_inc_counter = 0
         if line.cmd_before:
             for cmd in line.cmd_before:
                 eval_command(ctx, cmd)
@@ -393,13 +402,11 @@ class MainExecutor:
                         "HASHP", f"program not found for digest {hex(dg)}")
                 hs = HashState(data=bytearray(data))
                 hs.digest = dg
+                hs.digest_called = True
                 ctx.hash_p[addr] = hs
-                ctx.counters.padding_pg += -(-(len(data) + 1) // 56)
-                ctx.counters.poseidon_g += -(-(len(data) + 1) // 56)
-                ctx.counters.binary += 1
-                ctx.required.padding_pg_inputs.append(bytes(data))
             else:
                 hs = ctx.hash_p[addr]
+                hs.digest_called = True
                 if hs.digest is None:
                     self._hash_p_digest(ctx, hs)
                 if hs.digest != dg:
@@ -413,6 +420,15 @@ class MainExecutor:
             v = fea2scalar(op)
             ctx.required.binary.append(
                 {"a": v, "b": 0, "c": v, "opcode": 1, "type": 2})
+        if line.flag("hashPDigest"):
+            # per-ROW accounting (reference main_executor.cpp:2662):
+            # cntPaddingPG/cntPoseidonG += ceil((len+1)/56), cntBinary += 1
+            hs = ctx.hash_p.get(addr)
+            inc = -(-((len(hs.data) if hs else 0) + 1) // 56)
+            ctx.counters.padding_pg += inc
+            ctx.counters.poseidon_g += inc
+            ctx.counters.binary += 1
+            ctx.step_inc_counter = inc
 
         # ---- setters ----
         if line.flag("setA"):
@@ -451,6 +467,7 @@ class MainExecutor:
 
         # ---- control flow ----
         next_zkpc = ctx.zkPC + 1
+        stayed_for_repeat = False
         if line.flag("JMPN"):
             v = op[0]
             if v >= FR_FIRST_32_NEGATIVE:
@@ -479,25 +496,32 @@ class MainExecutor:
             next_zkpc = line.jmp_addr if line.flag("useJmpAddr") else addr
         elif line.flag("return"):
             next_zkpc = ctx.RR
-        elif line.flag("repeat") and ctx.RCX != 0:
-            ctx.RCX = (ctx.RCX - 1) % P
+        elif line.flag("repeat") and not line.flag("setRCX"):
+            # reference main_executor.cpp:3773-3780 + 3976-3979: the jump
+            # decision uses the ROW-ENTRY RCX; RCX decrements while nonzero
             if ctx.RCX != 0:
+                ctx.RCX = (ctx.RCX - 1) % P
                 next_zkpc = ctx.zkPC
+                stayed_for_repeat = True
 
         if ctx.pols is not None:
-            extra = {"carry": ctx.carry, "counters_pre": counters_pre}
+            extra = {"carry": ctx.carry, "counters_pre": counters_pre,
+                     "incCounter": ctx.step_inc_counter}
             if line.flag("JMPN"):
                 v = op[0]
                 isneg = 1 if v >= FR_FIRST_32_NEGATIVE else 0
                 extra["isNeg"] = isneg
                 cond = (v + 0x100000000) % P if isneg else v
-                extra["lJmpnCondValue"] = cond & 0xFFFFFFFF
+                # 23-bit low chunk + 9 committed bits (reference
+                # main_executor.cpp:3873-3880)
+                extra["lJmpnCondValue"] = cond & 0x7FFFFF
                 for j in range(9):
-                    extra[f"hJmpnCondValueBit{j}"] = (cond >> (32 + j)) & 1
-            if line.flag("JMPZ") and op[0] != 0:
+                    extra[f"hJmpnCondValueBit{j}"] = (cond >> (23 + j)) & 1
+            if op[0] != 0:
                 extra["op0Inv"] = pow(op[0], P - 2, P)
-            if line.flag("repeat") and ctx.RCX != 0:
-                extra["RCXInv"] = pow(ctx.RCX % P, P - 2, P)
+            rcx_row = ctx.final_regs["RCX"] % P if ctx.final_regs else 0
+            if rcx_row:
+                extra["RCXInv"] = pow(rcx_row, P - 2, P)
             if ctx.last_skey is not None:
                 for j in range(4):
                     extra[f"sKeyI{j}"] = ctx.last_skey[0][j]
@@ -508,16 +532,20 @@ class MainExecutor:
             for cmd in line.cmd_after:
                 eval_command(ctx, cmd)
 
-        # terminal condition: the ROM's final `JMP(start)` wrap (the trace
-        # is cyclic — reference runs exactly N steps and row N-1 jumps to
-        # row 0, main_executor.cpp loop bound), a jump-to-self end label
-        # (hand-written test ROMs), or running off the program
-        finished = (next_zkpc == ctx.zkPC and
-                    not (line.flag("repeat") and ctx.RCX != 0))
-        if next_zkpc == 0 and ctx.counters.steps > 0:
-            finished = True
-        if next_zkpc >= self.rom.size:
-            finished = True
+        # terminal condition.  Full mode (ctx.N > 0) runs EXACTLY N steps —
+        # the ROM's own end spin (beforeLast JMPN loop) pads the trace and
+        # row N-1 jumps back to row 0 (reference main_executor.cpp loop
+        # bound; the trace is cyclic).  Fast mode stops at the ROM's final
+        # wrap: a jump to zkPC 0 after real work, a self-jump end label
+        # (hand-written test ROMs), or running off the program.
+        if ctx.N:
+            finished = ctx.counters.steps >= ctx.N - 1
+        else:
+            finished = next_zkpc == ctx.zkPC and not stayed_for_repeat
+            if next_zkpc == 0 and ctx.counters.steps > 0:
+                finished = True
+            if next_zkpc >= self.rom.size:
+                finished = True
         ctx.zkPC = next_zkpc
         return finished
 
@@ -579,6 +607,7 @@ class MainExecutor:
             root = sr8to4(ctx.SR)
             res = ctx.hashdb.get(root, key)
             ctx.counters.poseidon_g += res.proof_hash_counter
+            ctx.step_inc_counter = res.proof_hash_counter + 2
             ctx.required.storage.append(res)
             return fea8(res.value)
         if line.flag("sWR"):
@@ -587,19 +616,24 @@ class MainExecutor:
             value = fea2scalar(ctx.D)
             res = ctx.hashdb.set("", 0, root, key, value)
             ctx.counters.poseidon_g += res.proof_hash_counter
+            ctx.step_inc_counter = res.proof_hash_counter + 2
             ctx.counters.binary += 1  # reference cntBinary: bin|sWR|hashPDigest
             ctx.required.storage.append(res)
             return sr4to8(res.new_root)
         if line.flag("hashKDigest"):
             hs = ctx.hash_k.setdefault(addr, HashState())
+            hs.digest_called = True
+            # per-ROW accounting (reference main_executor.cpp:2361:
+            # cntKeccakF adds ceil((len+1)/136) at every hashKDigest row)
+            blocks = len(hs.data) // 136 + 1
+            ctx.counters.keccak_f += blocks
+            ctx.step_inc_counter = blocks
             if hs.digest is None:
                 hs.digest = int.from_bytes(keccak256(bytes(hs.data)), "big")
-                blocks = len(hs.data) // 136 + 1
-                ctx.counters.keccak_f += blocks
-                ctx.required.keccak_inputs.append(bytes(hs.data))
             return fea8(hs.digest)
         if line.flag("hashPDigest"):
             hs = ctx.hash_p.setdefault(addr, HashState())
+            hs.digest_called = True
             if hs.digest is None:
                 self._hash_p_digest(ctx, hs)
             return fea8(hs.digest)
@@ -664,18 +698,13 @@ class MainExecutor:
 
     def _hash_p_digest(self, ctx: Context, hs: HashState) -> None:
         """Compute the Poseidon linear hash of a hashP stream (reference
-        hashPLen/hashPDigest flow) and account counters: cntPaddingPG and
-        cntPoseidonG += ceil((len+1)/56), cntBinary += 1."""
+        hashPLen/hashPDigest flow); counters account per hashPDigest ROW
+        in _step, not here."""
         data = bytes(hs.data)
         felts = [int.from_bytes(data[off:off + 7], "little")
                  for off in range(0, len(data), 7)]
         digest4 = poseidon_gl.linear_hash_host(felts + [len(data)])
         hs.digest = fea2scalar(sr4to8(tuple(digest4)))
-        inc = -(-(len(data) + 1) // 56)
-        ctx.counters.padding_pg += inc
-        ctx.counters.poseidon_g += inc
-        ctx.counters.binary += 1
-        ctx.required.padding_pg_inputs.append(data)
         ctx.hashdb.set_program(
             tuple((hs.digest >> (64 * i)) & ((1 << 64) - 1)
                   for i in range(4)),
@@ -711,6 +740,10 @@ class MainExecutor:
         if len(hs.data) < pos + size:
             hs.data.extend(b"\x00" * (pos + size - len(hs.data)))
         hs.data[pos:pos + size] = data
+        if hs.read_len.get(pos, size) != size:
+            raise ExecutorError(
+                "HASH", f"two different read sizes at pos {pos}")
+        hs.read_len[pos] = size
         ctx.HASHPOS = pos + size
 
     def _arith(self, ctx: Context, line: RomLine, op: List[int]):

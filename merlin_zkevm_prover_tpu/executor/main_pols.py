@@ -128,6 +128,24 @@ class MainPolsRecorder:
             self.cols[c][i] = getattr(extra["counters_pre"], v)
         self.row += 1
 
+    def finalize_wrap(self, ctx) -> None:
+        """The trace is cyclic: the reference writes every register's
+        next-state to row (i+1) % N, so row 0 ends up holding the
+        post-state of step N-1 (the ROM's end spin restores registers so
+        the wrap stays consistent with the L1-gated identities)."""
+        for r in REG8:
+            vals = getattr(ctx, r)
+            for j in range(8):
+                self.cols[f"{r}{j}"][0] = vals[j]
+        for r in SCALAR_REGS:
+            self.cols[r][0] = getattr(ctx, r) % P
+        if ctx.RCX % P:
+            self.cols["RCXInv"][0] = pow(ctx.RCX % P, P - 2, P)
+        for c, v in zip(CNT_COLS, ("arith", "binary", "mem_align",
+                                   "keccak_f", "poseidon_g", "padding_pg")):
+            self.cols[c][0] = getattr(ctx.counters, v)
+        self.cols["zkPC"][0] = ctx.zkPC
+
     def matrix(self) -> np.ndarray:
         """(N, width) uint64 matrix in the recorder's column order."""
         return np.stack(list(self.cols.values()), axis=1)

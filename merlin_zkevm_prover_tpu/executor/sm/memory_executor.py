@@ -31,8 +31,9 @@ class MemoryExecutor:
             last = (i + 1 == len(ordered)
                     or ordered[i + 1]["addr"] != acc["addr"])
             pols["lastAccess"][i] = 1 if last else 0
-        # rows beyond the accesses: lastAccess defaults 1 on the final used
-        # row boundary is already handled; validate read consistency
+        # the cyclic wrap closes the access chain: the final domain row
+        # must flag lastAccess (mem.pil:30 (lastAccess-1)*LLAST == 0)
+        pols["lastAccess"][n - 1] = 1
         self._validate(ordered)
         return pols
 

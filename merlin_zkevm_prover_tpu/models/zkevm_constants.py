@@ -67,9 +67,43 @@ def global_constants(n: int) -> Dict[str, np.ndarray]:
     }
     for k in range(32):
         out[f"Global.CLK32[{k}]"] = (i % 32 == k).astype(np.uint64)
+    # BYTE_FACTOR[k] at offset o (= STEP32): the packing factor of byte o
+    # into felt o//4 of an 8x32-bit value (pairs with the padding SMs'
+    # crOffset/crF plookups)
     for k in range(8):
-        out[f"Global.BYTE_FACTOR[{k}]"] = \
-            np.full(n, 1 << (8 * (k % 4)), dtype=np.uint64)
+        o = i % 32
+        out[f"Global.BYTE_FACTOR[{k}]"] = np.where(
+            o // 4 == k,
+            np.uint64(1) << (np.uint64(8) * (o % 4)), np.uint64(0))
+    return out
+
+
+def padding_pg_constants(n: int) -> Dict[str, np.ndarray]:
+    """PaddingPG.F[8] byte-packing factors (7 bytes per felt, 8 felts per
+    56-byte block), lastBlock at block-final rows, crValid (chunk-read
+    latch rows allowed everywhere)."""
+    i = np.arange(n, dtype=np.uint64)
+    out: Dict[str, np.ndarray] = {}
+    blk = i % 56
+    elem = blk // 7
+    sh = np.uint64(8) * (blk % 7)
+    for k in range(8):
+        out[f"PaddingPG.F[{k}]"] = np.where(elem == k, np.uint64(1) << sh,
+                                            np.uint64(0))
+    last = (blk == 55).astype(np.uint64)
+    # 2^k is not a multiple of 56: the domain ends in a short block whose
+    # last row plays the byte-55 role (padding_pg_executor.cpp tail:
+    # freeIn 0x80 + lastHash close the cycle at row N-1)
+    short = 56 * (n // 56)
+    if short < n:
+        last[short:] = 0
+        last[n - 1] = 1
+        for k in range(8):
+            out[f"PaddingPG.F[{k}]"][short:] = 0
+        out["PaddingPG.F[0]"][short] = 1
+        out["PaddingPG.F[7]"][n - 1] = np.uint64(1) << np.uint64(48)
+    out["PaddingPG.lastBlock"] = last
+    out["PaddingPG.crValid"] = np.ones(n, dtype=np.uint64)
     return out
 
 
@@ -192,35 +226,95 @@ def poseidon_g_constants(n: int) -> Dict[str, np.ndarray]:
 
 
 def bits2field_constants(n: int) -> Dict[str, np.ndarray]:
-    """FieldLatch/Factor exactly per bits2field_executor.cpp:7-44."""
+    """FieldLatch/Factor per bits2field_executor.cpp:7-44, aligned with
+    the keccak gate-script slots: within slot s, rows s*S+1 .. s*S+140801
+    carry the 3200x44 bit lattice; FieldLatch=1 every 44th row (word
+    completion = the KeccakF Sin/Sout row), Factor = 1<<((q-1)%44)."""
+    from ..executor.sm.keccak_layout import build_keccak_script, n_slots
+
+    S = build_keccak_script().slot_size
     factor = np.zeros(n, dtype=np.uint64)
     latch = np.zeros(n, dtype=np.uint64)
-    for i in range(1, n):
-        k = (i - 1) % 44
-        factor[i] = 1 << k
-        if k == 43:
-            latch[i + 1 if i + 1 < n else 0] = 0  # latch marks completion
-            latch[i] = 0
-        if (i % 44) == 0:
-            latch[i] = 1
+    region = 3200 * 44 + 1
+    q = np.arange(1, region + 1, dtype=np.uint64)
+    f_slot = np.uint64(1) << ((q - 1) % 44)
+    l_slot = (((q - 1) % 44 == 0) & (q > 1)).astype(np.uint64)
+    for s in range(n_slots(n)):
+        base = s * S
+        factor[base + 1: base + region + 1] = f_slot
+        latch[base + 1: base + region + 1] = l_slot
     return {"Bits2Field.FieldLatch": latch, "Bits2Field.Factor": factor}
 
 
 def keccak_f_constants(n: int) -> Dict[str, np.ndarray]:
-    """Gate types and connection wiring from the framework's keccak-f gate
-    program (reference KeccakF ConnA/ConnB/ConnC + GateType)."""
-    from ..executor.sm.keccak_f_script import build_keccak_f_program
+    """GateType/ConnA/ConnB/ConnC + kGateType/kA/kB/kC from the
+    row-allocated gate script (executor/sm/keccak_layout.py)."""
+    from ..executor.sm.keccak_layout import keccak_f_constants as kfc
+
+    return kfc(n, P)
+
+
+def padding_kk_constants(n: int) -> Dict[str, np.ndarray]:
+    """PaddingKK r8Id/sOutId/lastBlock/lastBlockLatch/r8valid/
+    forceLastHash: 136-byte block structure over 44*n_slots blocks, a
+    structureless tail, and lastBlock forced at row N-1 so the cyclic
+    wrap closes (padding_kk.pil:86 addr carry)."""
+    from ..executor.sm.keccak_layout import n_slots
+
+    blocks = 44 * n_slots(n)
+    region = 136 * blocks
+    i = np.arange(n, dtype=np.uint64)
+    in_region = i < region
+    last = in_region & (i % 136 == 135)
+    out = {
+        "PaddingKK.lastBlockLatch": last.astype(np.uint64),
+        "PaddingKK.lastBlock": (last | (i == n - 1)).astype(np.uint64),
+        "PaddingKK.r8valid": in_region.astype(np.uint64),
+        "PaddingKK.r8Id": np.where(in_region, i + 1, 0).astype(np.uint64),
+        "PaddingKK.sOutId": np.where(last, (i // 136) + 1,
+                                     0).astype(np.uint64),
+        "PaddingKK.forceLastHash": np.zeros(n, dtype=np.uint64),
+    }
+    if region:
+        # the final structured block must terminate its stream
+        out["PaddingKK.forceLastHash"][region - 1] = 1
+    return out
+
+
+def padding_kkbit_constants(n: int) -> Dict[str, np.ndarray]:
+    """PaddingKKBit slot constants (1993-row slots: 136 x 9 absorb rows,
+    512 capacity rows, 256 sOut rows, 1 final row) + the three-column
+    connection constants tying sOutBit/sInBit to Bits2Field.bit."""
+    from ..executor.sm.keccak_layout import build_keccak_script, n_slots
+    from ..executor.sm.keccak_pipeline import KKBIT_SLOT
     from ..ops.goldilocks import w as gl_w
 
-    prog = build_keccak_f_program()
-    n_gates = len(prog.gates)
-    assert n_gates + 1 <= n
-    gate_type = np.zeros(n, dtype=np.uint64)
-    for g, (op, _, _, _) in enumerate(prog.gates):
-        gate_type[1 + g] = op
-    # connection wiring: rows where the same wire appears (a/b/c pins)
-    # are joined in one cycle, encoded exactly like the plonk sigma
-    # (k_pin * w^row images)
+    slots = 44 * n_slots(n)
+    out = {c: np.zeros(n, dtype=np.uint64) for c in
+           ["PaddingKKBit.r8Id", "PaddingKKBit.sOutId",
+            "PaddingKKBit.latchR8", "PaddingKKBit.Fr8",
+            "PaddingKKBit.rBitValid", "PaddingKKBit.latchSOut"]
+           + [f"PaddingKKBit.FSOut{k}" for k in range(8)]}
+    for s in range(slots):
+        base = s * KKBIT_SLOT
+        for j in range(136):
+            for k in range(8):
+                r = base + j * 9 + k
+                out["PaddingKKBit.Fr8"][r] = 1 << k
+                out["PaddingKKBit.rBitValid"][r] = 1
+            out["PaddingKKBit.latchR8"][base + j * 9 + 8] = 1
+            out["PaddingKKBit.r8Id"][base + j * 9 + 8] = s * 136 + j + 1
+        for j in range(256):
+            r = base + 136 * 9 + 512 + j
+            byte = j // 8
+            chunk = 7 - byte // 4
+            sh = (3 - byte % 4) * 8 + j % 8
+            out[f"PaddingKKBit.FSOut{chunk}"][r] = 1 << sh
+        out["PaddingKKBit.latchSOut"][base + KKBIT_SLOT - 1] = 1
+        out["PaddingKKBit.sOutId"][base + KKBIT_SLOT - 1] = s + 1
+
+    # ---- ConnSOutBit / ConnSInBit / ConnBits2FieldBit ----
+    S = build_keccak_script().slot_size
     nbits = (n - 1).bit_length()
     assert (1 << nbits) == n
     wn = gl_w(nbits)
@@ -229,23 +323,39 @@ def keccak_f_constants(n: int) -> Dict[str, np.ndarray]:
     for r in range(n):
         xs[r] = cur
         cur = cur * wn % P
-    ks = [1, 7, 49]  # pin cosets a/b/c
-    conn = [np.array([(int(x) * k) % P for x in xs], dtype=np.uint64)
-            for k in ks]
-    wire_slots: Dict[int, List] = {}
-    for g, (op, ia, ib, outw) in enumerate(prog.gates):
-        row = 1 + g
-        wire_slots.setdefault(ia, []).append((row, 0))
-        wire_slots.setdefault(ib, []).append((row, 1))
-        wire_slots.setdefault(outw, []).append((row, 2))
-    for wid, slots in wire_slots.items():
-        if len(slots) < 2:
-            continue
-        for i, (r, c) in enumerate(slots):
-            r2, c2 = slots[(i + 1) % len(slots)]
+    ks = [1, 7, 49]  # column cosets: sOutBit, sInBit, bit
+    conn = [(xs.astype(object) * k % P).astype(np.uint64) for k in ks]
+
+    def rotate(pins):
+        if len(pins) < 2:
+            return
+        for idx, (r, c) in enumerate(pins):
+            r2, c2 = pins[(idx + 1) % len(pins)]
             conn[c][r] = ks[c2] * int(xs[r2]) % P
-    return {"KeccakF.GateType": gate_type, "KeccakF.ConnA": conn[0],
-            "KeccakF.ConnB": conn[1], "KeccakF.ConnC": conn[2]}
+
+    def absorb_row(slot, b):
+        if b < 1088:
+            return slot * KKBIT_SLOT + (b // 8) * 9 + b % 8
+        return slot * KKBIT_SLOT + 136 * 9 + (b - 1088)
+
+    for s in range(slots):
+        ksl, lane = divmod(s, 44)
+        for b in range(1600):
+            b2f_in = ksl * S + 1 + b * 44 + lane
+            # input bit: Bits2Field.bit == sInBit at the absorb row
+            rotate([(absorb_row(s, b), 1), (b2f_in, 2)])
+            # output bit: Bits2Field.bit == sOutBit in the next slot's
+            # absorb region (the chained state) and, for the first 256
+            # bits, the sOut accumulate rows of this slot
+            b2f_out = ksl * S + 1 + (1600 + b) * 44 + lane
+            pins = [(absorb_row((s + 1) % slots, b), 0), (b2f_out, 2)]
+            if b < 256:
+                pins.append((s * KKBIT_SLOT + 136 * 9 + 512 + b, 0))
+            rotate(pins)
+    out["PaddingKKBit.ConnSOutBit"] = conn[0]
+    out["PaddingKKBit.ConnSInBit"] = conn[1]
+    out["PaddingKKBit.ConnBits2FieldBit"] = conn[2]
+    return out
 
 
 def binary_constants(n: int) -> Dict[str, np.ndarray]:
@@ -345,6 +455,8 @@ def build_all(n: int,
     out.update(poseidon_g_constants(n))
     out.update(bits2field_constants(n))
     out.update(binary_constants(n))
-    if n >= (1 << 18):
-        out.update(keccak_f_constants(n))
+    out.update(padding_pg_constants(n))
+    out.update(padding_kk_constants(n))
+    out.update(padding_kkbit_constants(n))
+    out.update(keccak_f_constants(n))
     return out

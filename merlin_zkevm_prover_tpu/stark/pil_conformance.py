@@ -53,18 +53,19 @@ class ConformanceReport:
         return "\n".join(lines)
 
 
-def _eval(e: Expr, cm: GL, const: GL, publics: Dict[int, int],
+def _eval(e: Expr, cm, const, publics: Dict[int, int],
           memo: Dict) -> GL:
+    """cm/const: dict id -> GL column (lazy; missing ids read as zero)."""
     hit = memo.get(e)
     if hit is not None:
         return hit
     k = e.kind
     if k == "cm":
-        v = GL(cm.lo[:, e.id], cm.hi[:, e.id])
+        v = cm(e.id)
         if e.prime:
             v = GL(jnp.roll(v.lo, -1), jnp.roll(v.hi, -1))
     elif k == "const":
-        v = GL(const.lo[:, e.id], const.hi[:, e.id])
+        v = const(e.id)
         if e.prime:
             v = GL(jnp.roll(v.lo, -1), jnp.roll(v.hi, -1))
     elif k == "number":
@@ -92,12 +93,15 @@ def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
                       const_cols: Dict[str, np.ndarray], n_bits: int,
                       publics: Optional[Dict[int, int]] = None,
                       rows_mask: Optional[np.ndarray] = None,
-                      strict: bool = True) -> ConformanceReport:
+                      strict: bool = True,
+                      files=None) -> ConformanceReport:
     """cm_cols/const_cols: PIL-name -> (n,) uint64 arrays.  rows_mask:
     optional bool array — violations only counted where True (e.g. mask
     off padding rows).  strict: raise if a provided cm column does not
     resolve to a PIL name (unmapped columns silently default to zero
-    and can make selector-gated identities pass vacuously)."""
+    and can make selector-gated identities pass vacuously).  files:
+    optional set of PIL fileNames — only their identities evaluated
+    (columns load lazily, so a namespace subset stays cheap at big n)."""
     if isinstance(pil_source, str):
         with open(pil_source) as f:
             pil = json.load(f)
@@ -108,23 +112,30 @@ def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
     cm_cols = resolve_columns(cm_cols, air.cm_names, strict=strict)
     const_cols = resolve_columns(const_cols, air.const_names, strict=False)
 
-    cm_mat = np.zeros((n, len(air.cm_names)), dtype=np.uint64)
-    mapped_cm = 0
-    for i, name in enumerate(air.cm_names):
-        col = cm_cols.get(name)
-        if col is not None:
-            cm_mat[: len(col), i] = col[:n]
-            mapped_cm += 1
-    const_mat = np.zeros((n, len(air.const_names)), dtype=np.uint64)
-    mapped_const = 0
-    for i, name in enumerate(air.const_names):
-        col = const_cols.get(name)
-        if col is not None:
-            const_mat[: len(col), i] = col[:n]
-            mapped_const += 1
+    zero = gl.from_u64(np.zeros(n, dtype=np.uint64))
 
-    cm = gl.from_u64(cm_mat)
-    const = gl.from_u64(const_mat)
+    def lazy(named_cols, names):
+        cache: Dict[int, GL] = {}
+
+        def get(i: int) -> GL:
+            v = cache.get(i)
+            if v is None:
+                col = named_cols.get(names[i])
+                if col is None:
+                    v = zero
+                else:
+                    buf = np.zeros(n, dtype=np.uint64)
+                    buf[: min(len(col), n)] = col[:n]
+                    v = gl.from_u64(buf)
+                cache[i] = v
+            return v
+
+        return get
+
+    cm = lazy(cm_cols, air.cm_names)
+    const = lazy(const_cols, air.const_names)
+    mapped_cm = sum(1 for name in air.cm_names if name in cm_cols)
+    mapped_const = sum(1 for name in air.const_names if name in const_cols)
     publics = publics or {}
 
     report = ConformanceReport(
@@ -143,6 +154,8 @@ def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
     assert len(identities) == len(pil["polIdentities"])
     for idx, (expr, ident) in enumerate(zip(identities,
                                             pil["polIdentities"])):
+        if files is not None and ident.get("fileName") not in files:
+            continue
         v = _eval(expr, cm, const, publics, memo)
         nz = (v.lo != 0) | (v.hi != 0)
         if mask is not None:
@@ -200,6 +213,45 @@ def resolve_columns(raw: Dict[str, np.ndarray], valid_names,
         raise ValueError(
             f"{len(unresolved)} producer columns do not resolve to PIL "
             f"cm names: {unresolved[:20]}")
+    return out
+
+
+_PUBLIC_INPUT_KEYS = {
+    "oldStateRoot": "oldStateRoot", "oldAccInputHash": "oldAccInputHash",
+    "oldBatchNum": "oldNumBatch", "chainId": "chainID", "forkId": "forkID",
+    "newStateRoot": "newStateRoot", "newAccInputHash": "newAccInputHash",
+    "localExitRoot": "newLocalExitRoot", "newBatchNum": "newNumBatch",
+}
+
+
+def zkevm_publics(pil, input_data: dict) -> Dict[int, int]:
+    """Expected public values from the batch input (reference
+    prover.cpp:461-526 publics extraction): 256-bit scalars split into
+    the 8x32-bit limb each public's pinned cm column carries."""
+    id_to_name = {}
+    for name, ref in pil["references"].items():
+        if ref["type"] != "cmP":
+            continue
+        if ref.get("isArray"):
+            for k in range(ref["len"]):
+                id_to_name[ref["id"] + k] = f"{name}[{k}]"
+        else:
+            id_to_name[ref["id"]] = name
+    out: Dict[int, int] = {}
+    for pub in pil.get("publics", []):
+        base = pub["name"].rstrip("0123456789")
+        key = _PUBLIC_INPUT_KEYS.get(base)
+        if key is None or key not in input_data:
+            continue
+        scalar = int(str(input_data[key]), 0) \
+            if isinstance(input_data[key], str) else int(input_data[key])
+        col = id_to_name.get(pub["polId"], "")
+        m = re.search(r"(\d+)$", col)
+        if base in ("oldBatchNum", "chainId", "forkId", "newBatchNum"):
+            out[pub["id"]] = scalar % P
+        elif m:
+            limb = int(m.group(1))
+            out[pub["id"]] = (scalar >> (32 * limb)) & 0xFFFFFFFF
     return out
 
 

@@ -81,13 +81,15 @@ def test_call_return_and_repeat():
     ])
     assert fea2scalar(ctx.A) == 77
     assert fea2scalar(ctx.B) == 5
-    # repeat: RCX=3 decrements to 0 staying on the line
+    # repeat: the line stays while the ROW-ENTRY RCX is nonzero and runs
+    # once more at RCX=0 (reference main_executor.cpp:3976-3979), so
+    # RCX=3 executes the instruction 4 times
     ctx = run([
         {"CONST": "3", "setRCX": 1},
-        {"inA": "1", "CONST": "1", "setA": 1, "repeat": 1},  # A += 1, x3
+        {"inA": "1", "CONST": "1", "setA": 1, "repeat": 1},  # A += 1, x4
         halt(2),
     ])
-    assert fea2scalar(ctx.A) == 3
+    assert fea2scalar(ctx.A) == 4
 
 
 def test_memory_rw_with_ctx():

@@ -4,7 +4,6 @@
 import numpy as np
 
 from merlin_zkevm_prover_tpu.executor.sm.keccak_pipeline import (
-    BITS_PER_FIELD,
     RATE_BYTES,
     pad_keccak,
     run_keccak_pipeline,
@@ -62,7 +61,7 @@ def test_padding_pg_matches_main_hashp():
         assert want == poseidon_gl.linear_hash_host(felts + [len(data)])
     assert required, "no PoseidonG work emitted"
     for state in required:
-        assert len(state) == 12
+        assert len(state) == 16  # state12 + expected hash4
 
 
 def test_executor_full_mode_fills_all_sms():
