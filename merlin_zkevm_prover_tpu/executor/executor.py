@@ -71,11 +71,12 @@ class ExecuteResult:
 
 class Executor:
     def __init__(self, rom: Rom, hashdb: Optional[HashDB] = None,
-                 n_bits: int = 16):
+                 n_bits: int = 16, jmpn_low_bits: int = 23):
         self.rom = rom
         self.hashdb = hashdb or HashDB()
         self.n = 1 << n_bits
-        self.main = MainExecutor(rom, self.hashdb, max_steps=self.n)
+        self.main = MainExecutor(rom, self.hashdb, max_steps=self.n,
+                                 jmpn_low_bits=jmpn_low_bits)
         self.arith = ArithExecutor()
         self.binary = BinaryExecutor()
         self.memory = MemoryExecutor()

@@ -172,17 +172,23 @@ def storage_key(ctx: Context) -> Tuple[int, int, int, int]:
     key = poseidon_gl.permute_host(kin1 + list(key_i))[:4]
     ctx.last_skey = (tuple(key_i), tuple(key))
     ctx.counters.poseidon_g += 2
-    ctx.required.poseidon_g.append(kin0 + [0, 0, 0, 0])
-    ctx.required.poseidon_g.append(kin1 + list(key_i))
+    # 17-felt actions: state, expected digest, permutation id (reference
+    # main_executor.cpp:1806,1818 — Kin0 -> PERMUTATION1, Kin1 -> 2)
+    ctx.required.poseidon_g.append(kin0 + [0, 0, 0, 0] + list(key_i) + [1])
+    ctx.required.poseidon_g.append(kin1 + list(key_i) + list(key) + [2])
     return tuple(key)
 
 
 class MainExecutor:
     def __init__(self, rom: Rom, hashdb: Optional[HashDB] = None,
-                 max_steps: int = 1 << 23):
+                 max_steps: int = 1 << 23, jmpn_low_bits: int = 23):
         self.rom = rom
         self.hashdb = hashdb or HashDB()
         self.max_steps = max_steps
+        # width of the JMPN low chunk (reference: 23, baked into
+        # main.pil:222; reduced-domain proving re-parametrizes it to
+        # n_bits — see stark/pil_importer.py reparam_jmpn)
+        self.jmpn_low_bits = jmpn_low_bits
 
     # ------------------------------------------------------------------
     def execute(self, input_data: Optional[dict] = None,
@@ -511,12 +517,18 @@ class MainExecutor:
                 v = op[0]
                 isneg = 1 if v >= FR_FIRST_32_NEGATIVE else 0
                 extra["isNeg"] = isneg
-                cond = (v + 0x100000000) % P if isneg else v
-                # 23-bit low chunk + 9 committed bits (reference
-                # main_executor.cpp:3873-3880)
-                extra["lJmpnCondValue"] = cond & 0x7FFFFF
+                # low chunk + 9 committed bits (reference
+                # main_executor.cpp:3873-3880; width 23 at production)
+                w = self.jmpn_low_bits
+                cond = (v + (1 << (w + 9))) % P if isneg else v
+                if cond >= (1 << (w + 9)):
+                    raise ExecutorError(
+                        "JMPN_RANGE",
+                        f"JMPN value {v} exceeds the 2^{w + 9} window at "
+                        f"zkPC={ctx.zkPC} (domain too small?)")
+                extra["lJmpnCondValue"] = cond & ((1 << w) - 1)
                 for j in range(9):
-                    extra[f"hJmpnCondValueBit{j}"] = (cond >> (23 + j)) & 1
+                    extra[f"hJmpnCondValueBit{j}"] = (cond >> (w + j)) & 1
             if op[0] != 0:
                 extra["op0Inv"] = pow(op[0], P - 2, P)
             rcx_row = ctx.final_regs["RCX"] % P if ctx.final_regs else 0
@@ -542,7 +554,12 @@ class MainExecutor:
             finished = ctx.counters.steps >= ctx.N - 1
         else:
             finished = next_zkpc == ctx.zkPC and not stayed_for_repeat
-            if next_zkpc == 0 and ctx.counters.steps > 0:
+            if next_zkpc == 0 and ctx.counters.steps > 0 and \
+                    "start" in (line.jmp_addr_label, line.else_addr_label):
+                # only the ROM's designated final wrap (`:JMP(start)`)
+                # terminates; a hand-written ROM legitimately jumping to
+                # address 0 keeps executing (ADVICE r2: a bare
+                # target-0 heuristic silently truncated such programs)
                 finished = True
             if next_zkpc >= self.rom.size:
                 finished = True

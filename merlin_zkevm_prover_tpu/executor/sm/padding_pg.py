@@ -133,7 +133,7 @@ class PaddingPGExecutor:
                     for b in range(BYTES_PER_BLOCK):
                         for k in range(4):
                             pols[f"curHash{k}"][p - b] = h[k]
-                    required.append(state + prev + list(h))
+                    required.append(state + prev + list(h) + [4])
                     if nxt < n:
                         for k in range(N_ELEMENTS):
                             pols[f"acc{k}"][nxt] = 0
@@ -149,7 +149,7 @@ class PaddingPGExecutor:
         # ---- unused region: empty-block pattern ----
         state0 = [1, 0, 0, 0, 0, 0, 0, 0x80 << 48, 0, 0, 0, 0]
         h0 = native.poseidon_permute(state0)[:4]
-        required.append(state0 + list(h0))
+        required.append(state0 + list(h0) + [4])
         while p < n:
             block = min(BYTES_PER_BLOCK, n - p)
             if block < 2:

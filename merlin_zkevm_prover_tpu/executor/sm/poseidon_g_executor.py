@@ -35,6 +35,11 @@ class PoseidonGExecutor:
     COLUMNS = STATE_COLS + ["hash0", "hash1", "hash2", "hash3",
                             "result1", "result2", "result3"]
 
+    # permutation-id -> result flag column (reference
+    # poseidon_g_permutation.hpp: 1 = Main Kin0 key hash, 2 = Main Kin1,
+    # 3 = Storage SMT node hash, 4 = PaddingPG — no committed flag)
+    RESULT_COLS = {1: "result1", 2: "result2", 3: "result3", 4: None}
+
     def execute(self, inputs: List[List[int]], n: int) -> Dict[str, np.ndarray]:
         """inputs: list of 12-felt states (optionally 16/17 with expected
         hash + permutation id, reference input[i][12..16])."""
@@ -59,7 +64,10 @@ class PoseidonGExecutor:
                 for hi in range(4):
                     pols[f"hash{hi}"][row] = digest[hi]
                 if r == 0:
-                    pols["result1"][row] = 1
+                    perm_id = int(inp[16]) if len(inp) >= 17 else 1
+                    rcol = self.RESULT_COLS[perm_id]
+                    if rcol is not None:
+                        pols[rcol][row] = 1
                 if r < SLOT_ROWS - 1:
                     state = _round(state, r)
                 row += 1

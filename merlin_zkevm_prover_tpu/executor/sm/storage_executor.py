@@ -313,7 +313,8 @@ class StorageExecutor:
                     op[j] = (op[j] + h[j]) % P  # op += inFREE * hash
                 pols["iHash"][i] = 1
                 if required_poseidon is not None:
-                    required_poseidon.append(list(fea))
+                    # tag 3 = storage permutation (poseidon_g_permutation.hpp)
+                    required_poseidon.append(list(fea) + list(h) + [3])
 
             # ---- climbs ----
             bit = int(pols["rkeyBit"][i])

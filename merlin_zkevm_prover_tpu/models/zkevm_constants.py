@@ -32,15 +32,20 @@ from ..executor.rom import IN_FIELDS, load_rom
 from ..ops.goldilocks import P
 from ..ops.poseidon_constants import ROUND_CONSTANTS, WIDTH
 
-# Rom.operations flag packing order (bit i = flag i set on the line)
+# Rom.operations flag packing order (bit i = flag i set on the line).
+# This is the PIL's own coefficient assignment in the Main->Rom fetch
+# plookup (main.pil:513 `operations` compression: 1*arithEq0 + 2*arithEq1
+# + ... + 2^46*useElseAddr) — it must match bit-exactly or every fetch
+# row misses the table.
 ROM_OPERATION_FLAGS = [
-    "mOp", "mWR", "hashK", "hashK1", "hashKLen", "hashKDigest",
-    "hashP", "hashP1", "hashPLen", "hashPDigest", "JMP", "JMPN", "JMPC",
-    "JMPZ", "call", "return", "useJmpAddr", "useElseAddr", "setA", "setB",
-    "setC", "setD", "setE", "setSR", "setCTX", "setSP", "setPC", "setGAS",
-    "setRR", "setHASHPOS", "setRCX", "sRD", "sWR", "arithEq0", "arithEq1",
-    "arithEq2", "memAlignRD", "memAlignWR", "memAlignWR8", "bin",
-    "assert", "repeat", "ind", "indRR", "isStack", "isMem", "useCTX",
+    "arithEq0", "arithEq1", "arithEq2", "assert", "bin", "hashK",
+    "hashKDigest", "hashKLen", "hashP", "hashPDigest", "hashPLen",
+    "ind", "indRR", "isMem", "isStack", "JMP", "JMPC", "JMPN",
+    "memAlignRD", "memAlignWR", "memAlignWR8", "mOp", "mWR", "repeat",
+    "setA", "setB", "setC", "setCTX", "setD", "setE", "setGAS",
+    "setHASHPOS", "setPC", "setRCX", "setRR", "setSP", "setSR",
+    "sRD", "sWR", "useCTX", "useJmpAddr", "JMPZ", "call", "return",
+    "hashK1", "hashP1", "useElseAddr",
 ]
 
 ROM_IN_COLS = [
@@ -78,6 +83,31 @@ def global_constants(n: int) -> Dict[str, np.ndarray]:
     return out
 
 
+def arith_constants(n: int) -> Dict[str, np.ndarray]:
+    """Arith range tables (arith.pil:252,1916-1918 lookups).
+
+    (SEL_BYTE2_BIT19, BYTE2_BIT19) is a tagged range table: rows i<2^16
+    carry (0, i) — plain 16-bit limbs — and the next 2^19 rows carry
+    (1, i-2^16) for the wider top limbs of the q quotients (q < 2^258
+    leaves up to 19 bits in the last limb, selected on CLK32 29..31).
+    GL_SIGNED_22BITS covers the eq carry range as signed values
+    (i - 2^22) mod p.  Both need the full 2^23 domain to be complete;
+    reduced domains get the same prefix and rely on trace-covering
+    compaction (models/zkevm.py) for the tail."""
+    i = np.arange(n, dtype=np.uint64)
+    sel = ((i >= (1 << 16)) & (i < (1 << 16) + (1 << 19))).astype(np.uint64)
+    b19 = np.where(i < (1 << 16), i,
+                   np.where(sel == 1, i - (1 << 16), 0)).astype(np.uint64)
+    signed = ((i.astype(object) - (1 << 22)) % P).astype(np.uint64) \
+        if n >= (1 << 22) else \
+        ((i.astype(object) - n // 2) % P).astype(np.uint64)
+    return {
+        "Arith.SEL_BYTE2_BIT19": sel,
+        "Arith.BYTE2_BIT19": b19,
+        "Arith.GL_SIGNED_22BITS": signed,
+    }
+
+
 def padding_pg_constants(n: int) -> Dict[str, np.ndarray]:
     """PaddingPG.F[8] byte-packing factors (7 bytes per felt, 8 felts per
     56-byte block), lastBlock at block-final rows, crValid (chunk-read
@@ -111,8 +141,8 @@ def rom_constants(rom_path_or_dict, n: int) -> Dict[str, np.ndarray]:
     """Per-zkPC instruction constants (reference Rom.* namespace): the ROM
     program laid out at rows 0..size-1, zero elsewhere.  The Main SM's
     fetch is a plookup of (zkPC, instruction fields) into this table."""
-    rom = load_rom(rom_path_or_dict) if isinstance(rom_path_or_dict, str) \
-        else rom_path_or_dict
+    rom = rom_path_or_dict if hasattr(rom_path_or_dict, "lines") \
+        else load_rom(rom_path_or_dict)
     size = rom.size
     assert size <= n, f"ROM ({size} lines) exceeds domain {n}"
     out: Dict[str, np.ndarray] = {}
@@ -444,6 +474,7 @@ def build_all(n: int,
     """Every constant namespace this builder covers, keyed by PIL name."""
     out = {}
     out.update(global_constants(n))
+    out.update(arith_constants(n))
     try:
         out.update(rom_constants(rom_path, n))
     except (FileNotFoundError, AssertionError):

@@ -391,10 +391,71 @@ def compile_air(
     if not constraints:
         raise ValueError("AIR has no constraints")
 
-    # ---- quotient parameters ----
+    # ---- degree lowering via materialized intermediate polynomials ----
+    # The zkEVM PIL inlines virtual intermediate pols whose expressions
+    # reach degree 9-10 (pilcom nIm = 393); committing them at the blowup
+    # those degrees would force (2^4) is a 8x memory/compute tax.  This
+    # pass plays pil-stark's calculateImPols role: materialize
+    # high-degree subtrees as cm3 pols (computed in step3prev, committed
+    # under tree3) until every constraint has degree <= TARGET, giving
+    # blowup 2 / q_deg 2 — the reference's own zkevm starkstruct shape.
+    TARGET = 3
     deg_memo: dict = {}
+
+    def deg(e: Expr) -> int:
+        return expr_degree(e, deg_memo)
+
+    im_memo: Dict[Expr, Expr] = {}
+    lowered_defs: List[Expr] = []
+
+    def materialize(e: Expr) -> Expr:
+        im = im_memo.get(e)
+        if im is None:
+            d = _expr_dim(e, cm_dims)
+            imid = add_cm(3, "cm3_n", d, f"im{len(im_memo)}")
+            step3prev.append((("cm", imid), e))
+            im = Expr("cm", id=imid)
+            lowered_defs.append(im - e)  # e is reduced: deg <= TARGET
+            im_memo[e] = im
+        return im
+
+    red_memo: Dict[Expr, Expr] = {}
+
+    def reduce_deg(e: Expr) -> Expr:
+        if deg(e) <= TARGET:
+            return e
+        r = red_memo.get(e)
+        if r is not None:
+            return r
+        if e.kind == "mul":
+            a, b = reduce_deg(e.args[0]), reduce_deg(e.args[1])
+            while deg(a) + deg(b) > TARGET:
+                if deg(a) >= deg(b) and deg(a) > 1:
+                    a = materialize(a)
+                elif deg(b) > 1:
+                    b = materialize(b)
+                else:
+                    break
+            r = Expr("mul", args=(a, b))
+        elif e.kind in ("add", "sub", "neg"):
+            r = Expr(e.kind, args=tuple(reduce_deg(a) for a in e.args))
+        else:  # leaves have degree <= 1 <= TARGET
+            raise AssertionError(e.kind)
+        red_memo[e] = r
+        return r
+
+    constraints = [reduce_deg(c) for c in constraints]
+    constraints.extend(lowered_defs)
+
+    # ---- quotient parameters ----
     max_deg = max(max(expr_degree(c, deg_memo) for c in constraints), 1)
-    need_blowup = max(1, (max_deg - 1).bit_length())
+    # the true quotient degree is (max_deg-1)*n - max_deg < (max_deg-1)*n,
+    # and q is evaluated pointwise on the coset (each committed pol's LDE
+    # is exact there), so an ext domain of 2^k*n with 2^k >= max_deg-1
+    # determines q exactly: deg-3 constraint systems (the zkEVM PIL) run
+    # at blowup 2 with q split into 2 chunks, matching pil-stark's
+    # zkevm starkstruct (nBitsExt = nBits+1, qDeg = 2)
+    need_blowup = max(1, (max_deg - 2).bit_length())
     if blowup_bits is None:
         blowup_bits = need_blowup
     assert blowup_bits >= need_blowup, (

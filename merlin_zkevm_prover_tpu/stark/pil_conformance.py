@@ -89,6 +89,191 @@ def _eval(e: Expr, cm, const, publics: Dict[int, int],
     return v
 
 
+@dataclass
+class ArgumentReport:
+    """Satisfaction of the PIL's plookup/permutation/connection arguments
+    on a concrete trace (the polIdentity report's sibling: a proof only
+    verifies if these multiset/copy relations hold too)."""
+    n: int
+    passed: List[str] = field(default_factory=list)
+    failed: Dict[str, str] = field(default_factory=dict)  # tag -> detail
+
+    @property
+    def ok(self):
+        return not self.failed
+
+    def summary(self) -> str:
+        lines = [f"PIL arguments on {self.n}-row trace: "
+                 f"{len(self.passed)} hold, {len(self.failed)} fail"]
+        for tag, why in self.failed.items():
+            lines.append(f"  FAIL {tag}: {why}")
+        return "\n".join(lines)
+
+
+def column_evaluator(air, cm_cols: Dict[str, np.ndarray],
+                     const_cols: Dict[str, np.ndarray], n: int,
+                     publics: Optional[Dict[int, int]] = None):
+    """ev(expr) -> (n,) uint64 over named trace/const columns (missing
+    columns read as zero)."""
+    zero = gl.from_u64(np.zeros(n, dtype=np.uint64))
+
+    def lazy(named_cols, names):
+        cache: Dict[int, GL] = {}
+
+        def get(i: int) -> GL:
+            v = cache.get(i)
+            if v is None:
+                col = named_cols.get(names[i])
+                if col is None:
+                    v = zero
+                else:
+                    buf = np.zeros(n, dtype=np.uint64)
+                    buf[: min(len(col), n)] = col[:n]
+                    v = gl.from_u64(buf)
+                cache[i] = v
+            return v
+
+        return get
+
+    cm = lazy(cm_cols, air.cm_names)
+    const = lazy(const_cols, air.const_names)
+    publics = publics or {}
+    memo: Dict = {}
+
+    def ev(e: Expr) -> np.ndarray:
+        v = np.asarray(gl.to_u64(_eval(e, cm, const, publics, memo)))
+        return np.broadcast_to(v, (n,))  # scalar exprs (e.g. numbers)
+
+    return ev
+
+
+def check_arguments(pil_source, cm_cols: Dict[str, np.ndarray],
+                    const_cols: Dict[str, np.ndarray], n_bits: int,
+                    publics: Optional[Dict[int, int]] = None,
+                    strict: bool = True,
+                    air=None) -> ArgumentReport:
+    """Check every plookup (f ⊆ t), permutation (multiset f == t) and
+    connection (copy-constraint cycles) of the PIL on named trace/const
+    columns.  Host-exact (numpy u64 → python int tuples); selectors must
+    be boolean, mirroring the challenge-compression argument the prover
+    lowers these to (compiler.py PuCtx/PeCtx/CiCtx)."""
+    if isinstance(pil_source, str):
+        with open(pil_source) as f:
+            pil = json.load(f)
+    else:
+        pil = pil_source
+    n = 1 << n_bits
+    if air is None:
+        air = import_pil(pil, name="argcheck", n_bits=n_bits)
+    cm_cols = resolve_columns(cm_cols, air.cm_names, strict=strict)
+    const_cols = resolve_columns(const_cols, air.const_names, strict=False)
+
+    ev = column_evaluator(air, cm_cols, const_cols, n, publics)
+
+    def sel_rows(sel: Optional[Expr], tag: str, rep) -> np.ndarray:
+        if sel is None:
+            return np.ones(n, dtype=bool)
+        v = ev(sel)
+        bad = np.sum((v != 0) & (v != 1))
+        if bad:
+            rep.failed.setdefault(tag, f"non-boolean selector ({bad} rows)")
+        return v == 1
+
+    def rows_as_tuples(cols: List[np.ndarray], mask: np.ndarray):
+        sel = np.nonzero(mask)[0]
+        stacked = np.stack([c[sel] for c in cols], axis=1)
+        return [tuple(int(x) for x in row) for row in stacked], sel
+
+    rep = ArgumentReport(n=n)
+
+    def _src(ident):
+        return f"{ident.get('fileName', '?')}:{ident.get('line', '?')}"
+
+    for li, lk in enumerate(air.lookups):
+        tag = f"plookup#{li} {_src(pil['plookupIdentities'][li])}"
+        fm = sel_rows(lk.f_sel, tag, rep)
+        tm = sel_rows(lk.t_sel, tag, rep)
+        if tag in rep.failed:
+            continue
+        fr, fsel = rows_as_tuples([ev(e) for e in lk.f_cols], fm)
+        tr, _ = rows_as_tuples([ev(e) for e in lk.t_cols], tm)
+        tset = set(tr)
+        missing = [(int(r), t) for r, t in zip(fsel, fr) if t not in tset]
+        if missing:
+            rep.failed[tag] = (f"{len(missing)}/{len(fr)} f-rows not in "
+                               f"table (|t|={len(tset)} distinct); first: "
+                               f"row {missing[0][0]} -> {missing[0][1]}")
+        else:
+            rep.passed.append(tag)
+
+    from collections import Counter
+
+    for pi, pe in enumerate(air.permutations):
+        tag = f"perm#{pi} {_src(pil['permutationIdentities'][pi])}"
+        fm = sel_rows(pe.f_sel, tag, rep)
+        tm = sel_rows(pe.t_sel, tag, rep)
+        if tag in rep.failed:
+            continue
+        fr, _ = rows_as_tuples([ev(e) for e in pe.f_cols], fm)
+        tr, _ = rows_as_tuples([ev(e) for e in pe.t_cols], tm)
+        cf, ct = Counter(fr), Counter(tr)
+        if cf != ct:
+            fonly = cf - ct
+            tonly = ct - cf
+            ex_f = next(iter(fonly.items()), None)
+            ex_t = next(iter(tonly.items()), None)
+            rep.failed[tag] = (f"multiset mismatch: |f|={len(fr)} |t|="
+                               f"{len(tr)}; f-only {sum(fonly.values())} "
+                               f"(e.g. {ex_f}), t-only "
+                               f"{sum(tonly.values())} (e.g. {ex_t})")
+        else:
+            rep.passed.append(tag)
+
+    # connections: sigma maps positions (col j, row r) -> (col j2, r2)
+    # encoded as sigma_j(r) = 7^j2 * w^r2; the argument holds iff the
+    # referenced cells are equal along every cycle (compiler.py:351-364).
+    if air.connections:
+        nb = n_bits
+        wn = gl.w(nb)
+        # position decode table: value -> (col, row)
+        for ci, cn in enumerate(air.connections):
+            tag = f"conn#{ci} {_src(pil['connectionIdentities'][ci])}"
+            k_vals = [pow(7, j, P) for j in range(len(cn.cols))]
+            xs = np.empty(n, dtype=np.uint64)
+            cur = 1
+            for r in range(n):
+                xs[r] = cur
+                cur = cur * wn % P
+            pos: Dict[int, tuple] = {}
+            for j, kj in enumerate(k_vals):
+                vals = (xs.astype(object) * kj % P)
+                for r, v in enumerate(vals):
+                    pos[int(v)] = (j, r)
+            cols = [ev(e) for e in cn.cols]
+            sig = [ev(e) for e in cn.s_cols]
+            bad = 0
+            example = None
+            for j in range(len(cols)):
+                for r in range(n):
+                    tgt = pos.get(int(sig[j][r]))
+                    if tgt is None:
+                        bad += 1
+                        if example is None:
+                            example = f"sigma[{j}][{r}] not a position"
+                        continue
+                    j2, r2 = tgt
+                    if int(cols[j][r]) != int(cols[j2][r2]):
+                        bad += 1
+                        if example is None:
+                            example = (f"cell ({j},{r})={int(cols[j][r])} != "
+                                       f"({j2},{r2})={int(cols[j2][r2])}")
+            if bad:
+                rep.failed[tag] = f"{bad} cells violate copy cycles; {example}"
+            else:
+                rep.passed.append(tag)
+    return rep
+
+
 def check_conformance(pil_source, cm_cols: Dict[str, np.ndarray],
                       const_cols: Dict[str, np.ndarray], n_bits: int,
                       publics: Optional[Dict[int, int]] = None,

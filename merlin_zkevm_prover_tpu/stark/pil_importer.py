@@ -26,8 +26,24 @@ from .compiler import rotate
 
 
 def import_pil(source, const_values: Optional[np.ndarray] = None,
-               name: str = "pil") -> AIR:
-    """source: path or parsed pilcom JSON -> AIR."""
+               name: str = "pil", n_bits: Optional[int] = None,
+               reparam_jmpn: bool = False) -> AIR:
+    """source: path or parsed pilcom JSON -> AIR.
+
+    `n_bits` overrides the PIL's declared polDeg to instantiate the same
+    constraint system on a reduced domain (public-input rows pinned to the
+    last row remap to the new last row; constants must be rebuilt for the
+    reduced domain by the caller, e.g. models/zkevm_constants.build_all).
+
+    `reparam_jmpn` (reduced domains only): the JMPN decomposition identity
+    (fork_5 main.pil:222) bakes N = 2^23 into its coefficients — op0 is
+    split as `isNeg*2^32 + op0 = sum(bit_j * 2^(23+j)) + lJmpnCondValue`
+    with lJmpnCondValue range-checked against the N-row STEP table.  The
+    same source generated at N = 2^n yields coefficients 2^(n+j) and
+    isNeg*2^(n+9); this flag applies that rewrite so the identity matches
+    a reduced-domain executor trace (executor/main_executor.py
+    jmpn_low_bits).  Off by default: conformance against reference-exact
+    traces keeps the shipped coefficients."""
     if isinstance(source, str):
         with open(source) as f:
             pil = json.load(f)
@@ -42,8 +58,10 @@ def import_pil(source, const_values: Optional[np.ndarray] = None,
         pol_deg = ref.get("polDeg")
         if pol_deg:
             break
-    n_bits = int(math.log2(pol_deg))
-    assert (1 << n_bits) == pol_deg
+    decl_bits = int(math.log2(pol_deg))
+    assert (1 << decl_bits) == pol_deg
+    if n_bits is None:
+        n_bits = decl_bits
 
     air = AIR(name, n_bits)
     air.cm_names = [f"cm{i}" for i in range(n_commitments)]
@@ -111,15 +129,51 @@ def import_pil(source, const_values: Optional[np.ndarray] = None,
     for pub in sorted(pil.get("publics", []), key=lambda p: p["id"]):
         assert pub["polType"] == "cmP", pub
         assert pub["id"] == len(air.publics)
-        air.publics.append((pub["name"], pub["polId"], pub["idx"]))
-        lrow = air.row_selector(pub["idx"])
+        idx = pub["idx"]
+        if idx == pol_deg - 1:
+            idx = (1 << n_bits) - 1  # last-row publics track the domain
+        assert idx < (1 << n_bits), (pub, n_bits)
+        air.publics.append((pub["name"], pub["polId"], idx))
+        lrow = air.row_selector(idx)
         air.constraint(
             lrow * (Expr("cm", id=pub["polId"]) - Expr("public", id=pub["id"]))
         )
 
     # identities
+    jmpn_cm = None
+    if reparam_jmpn and n_bits < decl_bits:
+        for ref_name, ref in pil["references"].items():
+            if ref_name.endswith(".lJmpnCondValue"):
+                jmpn_cm = ref["id"]
+        pow2_map = {1 << (decl_bits + j): 1 << (n_bits + j)
+                    for j in range(10)}
+
+        def has_jmpn(e: Expr, memo2: dict) -> bool:
+            h = memo2.get(e)
+            if h is None:
+                h = (e.kind == "cm" and e.id == jmpn_cm) or any(
+                    has_jmpn(a, memo2) for a in e.args)
+                memo2[e] = h
+            return h
+
+        def remap(e: Expr, memo2: dict) -> Expr:
+            h = memo2.get(e)
+            if h is None:
+                if e.kind == "number" and e.value in pow2_map:
+                    h = Expr("number", value=pow2_map[e.value])
+                elif e.args:
+                    h = Expr(e.kind, id=e.id, prime=e.prime, value=e.value,
+                             args=tuple(remap(a, memo2) for a in e.args))
+                else:
+                    h = e
+                memo2[e] = h
+            return h
+
     for ident in pil["polIdentities"]:
-        air.constraint(resolve(ident["e"]))
+        e = resolve(ident["e"])
+        if jmpn_cm is not None and has_jmpn(e, {}):
+            e = remap(e, {})
+        air.constraint(e)
     for ident in pil.get("plookupIdentities", []):
         f = [resolve(i) for i in ident["f"]]
         t = [resolve(i) for i in ident["t"]]
