@@ -130,6 +130,8 @@ class Context:
     input_data: dict = field(default_factory=dict)
     trace: List[dict] = field(default_factory=list)
     tracer: object = None
+    # reference input.bNoCounters: STEP/CNT_* read as zero (see _step)
+    no_counters: bool = False
     # trace length for beforeLast(); fast mode leaves it at 0 so the ROM's
     # final padding spin exits immediately instead of burning N steps
     N: int = 0
@@ -196,6 +198,7 @@ class MainExecutor:
                 record_pols: bool = False) -> Context:
         ctx = Context(rom=self.rom, hashdb=self.hashdb,
                       input_data=input_data or {})
+        ctx.no_counters = bool((input_data or {}).get("noCounters", False))
         if record_pols:
             from .main_pols import MainPolsRecorder
 
@@ -304,17 +307,23 @@ class MainExecutor:
         if "inROTL_C" in ins:
             rot = [ctx.C[7]] + ctx.C[0:7]
             add_reg(ins["inROTL_C"], rot)
+        # with no_counters (reference input.bNoCounters,
+        # main_executor.cpp:472,3707-4057), STEP and all CNT_* registers
+        # read as zero so the ROM's out-of-counters checks never fire —
+        # the mode the performance testvectors were generated under
+        nc = ctx.no_counters
         for name, val in (
             ("inCTX", ctx.CTX), ("inSP", ctx.SP), ("inPC", ctx.PC),
-            ("inGAS", ctx.GAS), ("inSTEP", ctx.counters.steps),
+            ("inGAS", ctx.GAS),
+            ("inSTEP", 0 if nc else ctx.counters.steps),
             ("inRR", ctx.RR), ("inHASHPOS", ctx.HASHPOS),
             ("inRCX", ctx.RCX),
-            ("inCntArith", ctx.counters.arith),
-            ("inCntBinary", ctx.counters.binary),
-            ("inCntKeccakF", ctx.counters.keccak_f),
-            ("inCntMemAlign", ctx.counters.mem_align),
-            ("inCntPaddingPG", ctx.counters.padding_pg),
-            ("inCntPoseidonG", ctx.counters.poseidon_g),
+            ("inCntArith", 0 if nc else ctx.counters.arith),
+            ("inCntBinary", 0 if nc else ctx.counters.binary),
+            ("inCntKeccakF", 0 if nc else ctx.counters.keccak_f),
+            ("inCntMemAlign", 0 if nc else ctx.counters.mem_align),
+            ("inCntPaddingPG", 0 if nc else ctx.counters.padding_pg),
+            ("inCntPoseidonG", 0 if nc else ctx.counters.poseidon_g),
         ):
             if name in ins:
                 add_scalar(ins[name], val)

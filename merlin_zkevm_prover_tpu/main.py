@@ -30,10 +30,47 @@ from .utils.zklog import zklog
 def build_backend(config: Config) -> StarkCircuitBackend:
     """Assemble the proving backend from config.
 
-    With a romFile configured, batches run through the zkASM executor; the
-    proving circuit defaults to the built-in smoke circuit until the
-    imported-PIL zkEVM circuit ships its constant-polynomial generators.
-    """
+    With romFile + pilFile configured, gen_batch_proof proves the REAL
+    zkEVM circuit: the batch runs through the zkASM executor, its trace
+    becomes main.pil's 665 committed columns, and the proof's 44 publics
+    are bound to the batch's old/new state roots (reference
+    prover.cpp:461-526).  Domain size comes from proverNBits (>= 18 for
+    batches that hash data — one keccak slot; below 2^23 the
+    reduced-domain instantiation of models/zkevm.py applies).  Without a
+    pilFile the built-in smoke circuit is used (dev/loopback)."""
+    pil_file = getattr(config, "pilFile", "") or ""
+    if config.romFile and pil_file:
+        from .models import zkevm as zkevm_model
+
+        n_bits = config.proverNBits if config.proverNBits >= 14 else 18
+        air = zkevm_model.build_zkevm_air(
+            n_bits=n_bits, pil_path=pil_file, reparam_jmpn=n_bits < 23)
+        info = zkevm_model.compile_zkevm(
+            air, n_queries=max(config.proverNQueries, 16))
+        zklog.info(f"zkEVM circuit at 2^{n_bits}: building constants ...")
+        sprover = None  # built lazily: const LDE+tree is heavy
+
+        def trace_builder(input_data, exec_result):
+            air2, cm1, const, publics, _res = zkevm_model.prepare_batch(
+                input_data, n_bits, pil_path=pil_file,
+                rom_path=config.romFile)
+            nonlocal sprover
+            if sprover is None:
+                sprover = StarkProver(info, const)
+                backend.stark_prover = sprover
+            return cm1, publics
+
+        # the trace builder runs its own (domain-scaled) executor; the
+        # plain one below only serves the process_batch latency path
+        trace_builder.self_executing = True
+        rom = load_rom(config.romFile)
+        executor = Executor(rom, HashDB(config.databaseURL))
+        backend = StarkCircuitBackend(
+            info, sprover, trace_builder, executor=executor,
+            recursion_mode=getattr(config, "recursionMode", "full"),
+        )
+        return backend
+
     air, default_trace = build_smoke_air(n_bits=config.proverNBits
                                          if config.proverNBits <= 10 else 5)
     info = compile_air(air, n_queries=config.proverNQueries,

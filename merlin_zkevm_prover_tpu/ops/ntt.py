@@ -176,6 +176,52 @@ def coset_scale(coeffs: GL, shift: int = SHIFT) -> GL:
                                  jnp.broadcast_to(pows.hi, a2.shape))))
 
 
+# Memory plan for wide matrices (the zkEVM's 665-column cm1, 220-column
+# const): one whole-matrix LDE at 2^18+ materializes several full-size
+# u32-limb intermediates (bit-reversal gathers, four-step twiddle products,
+# transposes) and exhausts HBM.  extend_pol_blocked runs the LDE in fixed
+# 64-column blocks, each under its own jit so XLA bounds the block's
+# intermediate lifetimes; the final block is zero-padded to the block width
+# so every block shares ONE compiled executable.  (Reference analogue: the
+# section-sized buffer plan of prover.cpp:99-120.)
+EXTEND_BLOCK_COLS = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _extend_block_jit(n_bits: int, n_bits_ext: int, shift: int):
+    def f(a2: GL) -> GL:
+        return extend_pol(a2, n_bits, n_bits_ext, shift)
+
+    return jax.jit(f)
+
+
+def extend_pol_blocked(a: GL, n_bits: int, n_bits_ext: int,
+                       shift: int = SHIFT,
+                       block_cols: int = EXTEND_BLOCK_COLS) -> GL:
+    """Column-blocked coset LDE: same result as extend_pol, bounded peak
+    HBM (one 64-column transform's intermediates at a time)."""
+    a2, _ = _as_2d(a)
+    n, c = a2.shape
+    assert a.lo.ndim == 2, "blocked extend expects an (N, C) matrix"
+    if c == 0:
+        return gl.zeros((1 << n_bits_ext, 0))
+    if c <= block_cols:
+        return _extend_block_jit(n_bits, n_bits_ext, shift)(a2)
+    fn = _extend_block_jit(n_bits, n_bits_ext, shift)
+    parts = []
+    for i in range(0, c, block_cols):
+        blk = GL(a2.lo[:, i:i + block_cols], a2.hi[:, i:i + block_cols])
+        w = blk.shape[1]
+        if w < block_cols:
+            blk = GL(jnp.pad(blk.lo, ((0, 0), (0, block_cols - w))),
+                     jnp.pad(blk.hi, ((0, 0), (0, block_cols - w))))
+        out = fn(blk)
+        if w < block_cols:
+            out = GL(out.lo[:, :w], out.hi[:, :w])
+        parts.append(out)
+    return gl.concat(parts, axis=1)
+
+
 def extend_pol(a: GL, n_bits: int, n_bits_ext: int, shift: int = SHIFT) -> GL:
     """Low-degree extension onto the shifted 2^n_bits_ext domain.
 

@@ -67,6 +67,19 @@ _U32MAX = np.uint32(0xFFFFFFFF)
 R_SUB = 16
 BLOCK_B = R_SUB * 128
 
+# VMEM budget for a linear-hash input block: Mosaic double-buffers the
+# (w, r_sub, 128) lo+hi grid blocks, so bytes = w * r_sub * 128 * 4 * 2 * 2.
+# The zkEVM's 665-column rows (w = 84 chunks * 8 = 672 lanes) overflow the
+# ~16 MB VMEM at r_sub 16; drop to the u32 tiling floor of 8 sublanes.
+_VMEM_BLOCK_BUDGET = 12 << 20
+
+
+def _r_sub_for(w: int) -> int:
+    r = R_SUB
+    while r > 8 and w * r * 128 * 4 * 4 > _VMEM_BLOCK_BUDGET:
+        r //= 2
+    return r
+
 
 def _rc_tables():
     vals = [ROUND_CONSTANTS[i] % P for i in range(N_ROUNDS * WIDTH)]
@@ -275,7 +288,7 @@ def _linear_hash_kernel(n_chunks: int):
 
     def kernel(rc_lo_ref, rc_hi_ref, src_lo_ref, src_hi_ref,
                out_lo_ref, out_hi_ref):
-        zero = jnp.zeros((R_SUB, 128), jnp.uint32)
+        zero = jnp.zeros(src_lo_ref.shape[1:], jnp.uint32)
 
         def chunk_body(c, dig):
             base = c * RATE
@@ -310,8 +323,8 @@ def _node_hash_kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
 # ---------------------------------------------------------------------------
 
 
-def _lanes_spec(n_lanes):
-    return pl.BlockSpec((n_lanes, R_SUB, 128), lambda i: (0, i, 0),
+def _lanes_spec(n_lanes, r_sub=R_SUB):
+    return pl.BlockSpec((n_lanes, r_sub, 128), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -345,7 +358,8 @@ def _permute_call(n_tiles: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _linear_hash_call(n_chunks: int, n_tiles: int, interpret: bool):
+def _linear_hash_call(n_chunks: int, n_tiles: int, interpret: bool,
+                      r_sub: int = R_SUB):
     w = n_chunks * RATE
 
     def fn(lo, hi):
@@ -353,12 +367,14 @@ def _linear_hash_call(n_chunks: int, n_tiles: int, interpret: bool):
             _linear_hash_kernel(n_chunks),
             grid=(n_tiles,),
             interpret=interpret,
-            in_specs=_rc_specs() + [_lanes_spec(w), _lanes_spec(w)],
-            out_specs=[_lanes_spec(CAPACITY), _lanes_spec(CAPACITY)],
+            in_specs=_rc_specs() + [_lanes_spec(w, r_sub),
+                                    _lanes_spec(w, r_sub)],
+            out_specs=[_lanes_spec(CAPACITY, r_sub),
+                       _lanes_spec(CAPACITY, r_sub)],
             out_shape=[
-                jax.ShapeDtypeStruct((CAPACITY, n_tiles * R_SUB, 128),
+                jax.ShapeDtypeStruct((CAPACITY, n_tiles * r_sub, 128),
                                      jnp.uint32),
-                jax.ShapeDtypeStruct((CAPACITY, n_tiles * R_SUB, 128),
+                jax.ShapeDtypeStruct((CAPACITY, n_tiles * r_sub, 128),
                                      jnp.uint32),
             ],
         )(jnp.asarray(_RC_LO), jnp.asarray(_RC_HI), lo, hi)
@@ -400,10 +416,10 @@ def _node_hash_call(n_tiles: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _to_tiles(x, n_lanes):
-    """(n_lanes, B) -> (n_lanes, Bp/128, 128) with B padded to BLOCK_B."""
+def _to_tiles(x, n_lanes, r_sub=R_SUB):
+    """(n_lanes, B) -> (n_lanes, Bp/128, 128) with B padded to r_sub*128."""
     b = x.shape[1]
-    pad = (-b) % BLOCK_B
+    pad = (-b) % (r_sub * 128)
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
     return x.reshape(n_lanes, (b + pad) // 128, 128), b
@@ -435,12 +451,14 @@ def linear_hash_tpu(rows: GL, interpret: bool = False) -> GL:
         )
     n_chunks = -(-w // RATE)
     wpad = n_chunks * RATE
+    r_sub = _r_sub_for(wpad)
     lo = jnp.pad(rows.lo, ((0, 0), (0, wpad - w))).T  # (Wpad, H)
     hi = jnp.pad(rows.hi, ((0, 0), (0, wpad - w))).T
-    lo, b = _to_tiles(lo, wpad)
-    hi, _ = _to_tiles(hi, wpad)
-    n_tiles = lo.shape[1] // R_SUB
-    out_lo, out_hi = _linear_hash_call(n_chunks, n_tiles, interpret)(lo, hi)
+    lo, b = _to_tiles(lo, wpad, r_sub)
+    hi, _ = _to_tiles(hi, wpad, r_sub)
+    n_tiles = lo.shape[1] // r_sub
+    out_lo, out_hi = _linear_hash_call(n_chunks, n_tiles, interpret,
+                                       r_sub)(lo, hi)
     return GL(_from_tiles(out_lo, b).T, _from_tiles(out_hi, b).T)
 
 

@@ -73,7 +73,8 @@ class StarkCircuitBackend(ProvingBackend):
 
     def gen_batch_proof(self, input_data: dict) -> dict:
         exec_result = None
-        if self.executor is not None:
+        if self.executor is not None and \
+                not getattr(self.trace_builder, "self_executing", False):
             exec_result = self.executor.execute(input_data)
         trace, publics = self.trace_builder(input_data, exec_result)
         if publics is None:

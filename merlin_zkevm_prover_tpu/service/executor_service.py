@@ -35,6 +35,7 @@ class ExecutorServer:
             "globalExitRoot": int.from_bytes(req.global_exit_root, "big"),
             "timestamp": req.eth_timestamp,
             "sequencerAddr": int(req.coinbase, 16) if req.coinbase else 0,
+            "noCounters": bool(req.no_counters),
         }
         try:
             res = self.executor.process_batch(input_data)

@@ -43,7 +43,11 @@ class MerkleTreeGL:
     # ---- host-side query proofs (small; operate on fetched numpy) ----
 
     def _nodes_np(self) -> np.ndarray:
-        return gl.to_u64(self.nodes)
+        # one device->host fetch per tree (queries index the cached copy;
+        # without this every query refetches the full node array)
+        if getattr(self, "_nodes_host", None) is None:
+            self._nodes_host = gl.to_u64(self.nodes)
+        return self._nodes_host
 
     def get_group_proof(self, idx: int) -> Tuple[np.ndarray, List[List[int]]]:
         """Returns (row values (width,), sibling path [[4 felts], ...])."""

@@ -71,7 +71,9 @@ class StarkProver:
         assert const_values.shape == (n, info.n_constants)
         self.const_n = gl.from_u64(const_values.astype(np.uint64))
         if info.n_constants > 0:
-            self.const_2ns = nttmod.extend_pol(
+            # blocked LDE bounds peak HBM (memory plan for the 220-column
+            # zkEVM const matrix; reference buffer plan prover.cpp:99-120)
+            self.const_2ns = nttmod.extend_pol_blocked(
                 self.const_n, info.n_bits, info.n_bits_ext
             )
         else:
@@ -94,8 +96,12 @@ class StarkProver:
         )
         self.zi = gl.from_u64(np.tile(zi_period, n))
 
-        # jitted device stages (traced once per section signature)
-        self._extend = jax.jit(functools.partial(core.extend_section, info))
+        # jitted device stages (traced once per section signature); LDEs
+        # run column-blocked outside the stage jits so one 64-column
+        # block's intermediates bound peak HBM on wide sections
+        self._extend = functools.partial(
+            nttmod.extend_pol_blocked, n_bits=info.n_bits,
+            n_bits_ext=info.n_bits_ext)
         self._step2 = jax.jit(functools.partial(core.step2_compute, info))
         self._step3 = jax.jit(functools.partial(core.step3_compute, info))
         self._step4 = jax.jit(functools.partial(core.step4_compute, info))
@@ -168,6 +174,10 @@ class StarkProver:
             transcript.put(tree.root())
 
         # ---- step 4 ----
+        # n-domain sections are dead from here (steps 4/5 read only the
+        # extended domain); drop them so their HBM is reusable
+        for k in ("cm1_n", "cm2_n", "cm3_n"):
+            sections.pop(k, None)
         with tlog.span("STARK_STEP_4"):
             challenges[4] = transcript.get_field()
             ch_dev = _challenges_gl3(challenges)

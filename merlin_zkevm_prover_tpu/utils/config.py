@@ -37,6 +37,7 @@ class Config:
     inputFile: str = ""
     outputPath: str = "output"
     romFile: str = ""
+    pilFile: str = ""  # compiled PIL (main.pil.json); enables the real zkEVM circuit
     zkeyFile: str = ""
     saveInputToFile: bool = False
     saveOutputToFile: bool = False

@@ -51,6 +51,35 @@ def test_zkevm_pil_conformance_on_real_batch():
     # the dedicated test below re-checks them with data at 2^19)
     assert rep.n_passed == 631, rep.summary()
 
+    # plookup/permutation/connection arguments on the same trace.  At
+    # 2^14 a known set cannot hold: range tables larger than the domain
+    # (BYTE2 2^16, GL_SIGNED_22BITS 2^23, the binary byte table) and the
+    # keccak family (needs one 155286-row slot -> 2^18) and the JMPN
+    # low-23 decomposition (domain-coupled; reparametrized only in the
+    # reduced-domain prove path).  Everything else must hold — the full
+    # 48/48 is asserted by tests/test_zkevm_prove.py at 2^18.
+    from merlin_zkevm_prover_tpu.models.zkevm import (
+        build_zkevm_air,
+        compact_reduced_tables,
+    )
+    from merlin_zkevm_prover_tpu.stark.pil_conformance import check_arguments
+
+    pil = json.load(open(PIL))
+    air = build_zkevm_air(n_bits=n_bits)
+    compact_reduced_tables(air, dict(cm), const, pil)
+    arep = check_arguments(pil, cm, const, n_bits, publics=publics, air=air)
+    print("\n" + arep.summary())
+    allowed = {
+        "arith.pil:232", "arith.pil:237", "arith.pil:242", "arith.pil:247",
+        "arith.pil:1916", "arith.pil:1917", "arith.pil:1918",
+        "binary.pil:86", "binary.pil:87", "main.pil:208",
+        "main.pil:663", "main.pil:678", "main.pil:687",
+    }
+    unexpected = {t: w for t, w in arep.failed.items()
+                  if t.split(" ", 1)[1] not in allowed}
+    assert not unexpected, unexpected
+    assert len(arep.passed) >= 35, arep.summary()
+
 
 @needs_ref
 def test_keccak_family_conformance_at_full_slot_domain():

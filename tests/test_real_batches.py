@@ -50,9 +50,17 @@ def test_batch_state_roots(rom, path):
 PERF_VECTORS = [
     "/root/reference/testvectors/performance/balance_transfer-498.json",
     "/root/reference/testvectors/performance/nft_mints-133.json",
-    # KNOWN ISSUE (tracked): erc20_transfer-197 / erc20_transferfrom-133
-    # execute fully (~7.9M steps) but the final root diverges — suspected
-    # ERC20-transfer-specific opcode semantics; under investigation.
+]
+
+# The erc20 workloads exceed the ROM's step budget with counters enabled
+# (7.91M steps > MAX_CNT_STEPS 7,968,988 minus the per-opcode reserve, so
+# the ROM's own `%MAX_CNT_STEPS - STEP - n :JMPN(outOfCountersStep)` check
+# fires at tx 196/132) — they were generated with the reference's
+# bNoCounters mode, where STEP/CNT_* read as zero
+# (main_executor.cpp:472,3707-4057).
+PERF_VECTORS_NO_COUNTERS = [
+    "/root/reference/testvectors/performance/erc20_transfer-197.json",
+    "/root/reference/testvectors/performance/erc20_transferfrom-133.json",
 ]
 
 
@@ -63,6 +71,40 @@ def test_performance_batches(rom, path):
     got, want, res = _run(rom, path)
     assert got == want, f"{path}: {hex(got)} != {hex(want)}"
     assert res.counters["cntSteps"] > 1_000_000
+
+
+def _run_nc(rom, path, no_counters):
+    d = json.load(open(path))
+    hashdb = HashDB()
+    load_db_into(hashdb, d)
+    ex = Executor(rom, hashdb, n_bits=24)
+    inp = load_input(d)
+    inp["noCounters"] = no_counters
+    res = ex.process_batch(inp)
+    got = sum(int(v) << (64 * i) for i, v in enumerate(res.new_state_root))
+    return got, res
+
+
+@needs_ref
+@pytest.mark.slow
+@pytest.mark.parametrize("path", PERF_VECTORS_NO_COUNTERS)
+def test_performance_batches_no_counters(rom, path):
+    d = json.load(open(path))
+    got, res = _run_nc(rom, path, no_counters=True)
+    assert got == int(d["newStateRoot"], 16), f"{path}: {hex(got)}"
+    assert res.counters["cntSteps"] > 7_000_000
+
+
+@needs_ref
+@pytest.mark.slow
+def test_erc20_oocs_with_counters(rom):
+    """With counters ON the same batch must trip the ROM's OOCS check and
+    invalidate the whole batch: newStateRoot == oldStateRoot (ROM
+    handleBatchError semantics)."""
+    path = PERF_VECTORS_NO_COUNTERS[0]
+    d = json.load(open(path))
+    got, res = _run_nc(rom, path, no_counters=False)
+    assert got == int(d["oldStateRoot"], 16), hex(got)
 
 
 @needs_ref

@@ -1,0 +1,70 @@
+"""Flagship demo driver: prove a production batch against the real
+665-column zkEVM main.pil on the TPU.
+
+Usage:
+    python tools/prove_zkevm.py [--nbits 18] [--queries 32] \
+        [--vector /root/reference/testvectors/batchProof/input_executor_0.json]
+
+Prints per-stage timings (the reference's STARK_STEP_* timer points,
+starks.cpp:50-402) and the verified proof's roots/publics.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nbits", type=int, default=18)
+    ap.add_argument("--queries", type=int, default=32)
+    ap.add_argument("--vector", default="/root/reference/testvectors/"
+                    "batchProof/input_executor_0.json")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    from merlin_zkevm_prover_tpu.models.zkevm import (
+        compile_zkevm,
+        prepare_batch,
+    )
+    from merlin_zkevm_prover_tpu.stark import StarkProver, verify
+    from merlin_zkevm_prover_tpu.utils.timer import TimerLog
+
+    d = json.load(open(args.vector))
+    t0 = time.time()
+    air, cm1, const, publics, _res = prepare_batch(d, args.nbits)
+    print(f"executor + trace assembly: {time.time()-t0:.1f}s "
+          f"(trace {cm1.shape}, const {const.shape})", flush=True)
+
+    t0 = time.time()
+    info = compile_zkevm(air, n_queries=args.queries)
+    print(f"compile_air: {time.time()-t0:.1f}s  n_cm={info.n_cm} "
+          f"q_deg={info.q_deg} ext=2^{info.n_bits_ext}", flush=True)
+
+    tlog = TimerLog("zkevm-prove")
+    t0 = time.time()
+    prover = StarkProver(info, const)
+    print(f"const LDE + tree: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    proof = prover.prove(cm1, publics, timer=tlog)
+    print(f"prove: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    verify(info, prover.const_tree.root(), proof)
+    print(f"verify: {time.time()-t0:.1f}s", flush=True)
+
+    print("publics[:12]:", [int(x) for x in publics[:12]])
+    print("VERIFIED: real zkEVM main.pil proof of "
+          f"{os.path.basename(args.vector)} at 2^{args.nbits}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
