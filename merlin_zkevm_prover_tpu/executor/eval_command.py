@@ -249,12 +249,21 @@ def eval_function(ctx, tag: dict) -> int:
         return ((m1 & (MASK256 >> (8 * offset))) |
                 ((value << (8 * (32 - offset))) & MASK256))
     if name == "eventLog":
-        # first param names the event (a free-form tag); remaining params
-        # are evaluated and forwarded to the tracer
+        # first param names the event (a free-form tag); the event's own
+        # arguments live either in the remaining params (onError ref) or
+        # nested inside the tag when it is itself a functionCall —
+        # `eventLog(onOpcode(0x55))` (rom.json cmdAfter structure)
         ev = params[0] if params else {}
         ev_name = ev.get("funcName") or ev.get("varName") or ev.get("op", "")
+        arg_cmds = list(ev.get("params", [])) + list(params[1:])
         vals = []
-        for p in params[1:]:
+        for p in arg_cmds:
+            if ev_name == "onError" and p.get("op") == "getVar":
+                # error identifiers (OOCS, OOG, ...) are symbolic names,
+                # not variables with values (reference full_tracer onError
+                # reads cmd.params[0]->varName)
+                vals.append(p.get("varName", "error"))
+                continue
             try:
                 vals.append(eval_command(ctx, p))
             except Exception:

@@ -204,11 +204,11 @@ class MainExecutor:
 
             ctx.pols = MainPolsRecorder(self.max_steps)
             ctx.N = self.max_steps
-        if (input_data or {}).get("traceConfig", {}).get("enabled") or \
-                record_trace:
-            from .full_tracer import FullTracer
+        tc = (input_data or {}).get("traceConfig", {})
+        if tc.get("enabled") or record_trace:
+            from .full_tracer import FullTracer, TraceConfig
 
-            ctx.tracer = FullTracer()
+            ctx.tracer = FullTracer(config=TraceConfig.from_dict(tc))
         # initState (reference main_executor.cpp:4351-4367): B=oldStateRoot,
         # C=oldAccInputHash, SP=oldBatchNum, GAS=chainID, CTX=forkID
         inp = ctx.input_data

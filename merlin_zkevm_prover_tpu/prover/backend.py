@@ -178,6 +178,13 @@ class StarkCircuitBackend(ProvingBackend):
             self._recf = (info_f, prover_f, lay)
         else:
             info_f, prover_f, lay = self._recf
+            # same layout-shape guard RecursiveStage.prove performs: the
+            # cached prover is only reusable if the verifier circuit kept
+            # its shape (ADVICE r2)
+            lay2 = plan_layout(c, lay.n_bits)
+            assert (lay2.n_pub_rows, lay2.n_gate_rows, lay2.n_pos_rows) == \
+                (lay.n_pub_rows, lay.n_gate_rows, lay.n_pos_rows), \
+                "recursiveF circuit shape changed across proofs"
             trace = fill_trace(c, lay)
         pf = prover_f.prove(trace)
         verify(info_f, prover_f.const_tree.root(), pf,

@@ -20,20 +20,41 @@ from .final_circuit import build_final_r1cs
 
 
 class FinalStage:
-    """Reusable Groth16 context for one recursiveF circuit shape."""
+    """Reusable final-SNARK context for one recursiveF circuit shape.
+
+    `protocol` selects Groth16 or fflonk — the reference picks by the
+    zkey's protocol ID (prover.cpp:59,887: 1 = groth16, 10 = fflonk)."""
 
     def __init__(self, info: StarkInfo, const_root_fr: int,
-                 setup_seed: int = 1234):
+                 setup_seed: int = 1234, protocol: str = "groth16"):
+        assert protocol in ("groth16", "fflonk")
         self.info = info
         self.const_root_fr = int(const_root_fr)
         self.setup_seed = setup_seed
+        self.protocol = protocol
         self.key = None
         self.toxic = None
 
+    def _prove_fflonk(self, r1cs, witness) -> Dict:
+        from ..snark.fflonk import fflonk_prove, fflonk_setup, fflonk_verify
+        from ..snark.r1cs_to_plonk import r1cs_to_plonk
+
+        cs, av, bv, cv = r1cs_to_plonk(r1cs, witness)
+        if self.key is None:
+            self.key = fflonk_setup(cs, seed=self.setup_seed)
+        proof = fflonk_prove(self.key, av, bv, cv)
+        assert fflonk_verify(self.key, proof), \
+            "final fflonk proof fails verification"
+        proof["verified"] = True
+        return proof
+
     def prove(self, proof: StarkProof) -> Dict:
-        """Returns the Groth16 proof dict {pi_a, pi_b, pi_c, publics}."""
+        """Returns the final SNARK proof dict (Groth16: {pi_a, pi_b,
+        pi_c, publics}; fflonk: {C1, C2, W1, W2, evals, publics})."""
         r1cs, witness = build_final_r1cs(self.info, self.const_root_fr,
                                          proof)
+        if self.protocol == "fflonk":
+            return self._prove_fflonk(r1cs, witness)
         if self.key is None:
             self.key, self.toxic = setup(r1cs, seed=self.setup_seed)
         else:

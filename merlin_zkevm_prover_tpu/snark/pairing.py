@@ -368,9 +368,48 @@ def g2_mul(k: int, p):
     return acc
 
 
+def _g1_valid(p) -> bool:
+    """On-curve check for an affine BN254 G1 point (y^2 = x^3 + 3).
+    G1 has prime order on BN254, so on-curve implies in-subgroup."""
+    try:
+        x, y = int(p[0]) % Q, int(p[1]) % Q
+    except (TypeError, ValueError, IndexError):
+        return False
+    return (y * y - x * x * x - 3) % Q == 0
+
+
+def _g2_valid(p) -> bool:
+    """On-curve + r-order subgroup check for an affine G2 point over Fq2
+    (y^2 = x^3 + 3/(9+u); G2's curve order is not prime, so the subgroup
+    check [r]P = O is required for adversarial inputs)."""
+    try:
+        x = tuple(int(v) % Q for v in p[0])
+        y = tuple(int(v) % Q for v in p[1])
+        if len(x) != 2 or len(y) != 2:
+            return False
+    except (TypeError, ValueError):
+        return False
+    b2 = f2_mul((3, 0), f2_inv((9, 1)))
+    lhs = f2_sub(f2_sqr(y), f2_mul(f2_sqr(x), x))
+    if lhs != tuple(v % Q for v in b2):
+        return False
+    # [r]P == O, without g2_mul's mod-r scalar reduction
+    acc, base, k = None, (x, y), R
+    while k:
+        if k & 1:
+            acc = g2_add(acc, base)
+        base = g2_add(base, base)
+        k >>= 1
+    return acc is None
+
+
 def groth16_verify(vk: dict, proof: dict) -> bool:
     """vk: {alpha1, beta2, gamma2, delta2, ic: [G1]}; proof: {pi_a, pi_b,
     pi_c, publics}.  Checks e(A,B) = e(alpha,beta) e(acc,gamma) e(C,delta).
+
+    Proof points are validated first (on-curve, and r-order subgroup for
+    G2): a malformed adversarial proof returns False instead of crashing
+    the pairing (reference snarkjs acceptance-step behavior).
     """
     publics = [int(x) for x in proof["publics"]]
     ic = vk["ic"]
@@ -382,6 +421,8 @@ def groth16_verify(vk: dict, proof: dict) -> bool:
     pi_c = tuple(int(v) for v in proof["pi_c"][:2])
     pi_b = (tuple(int(v) for v in proof["pi_b"][0]),
             tuple(int(v) for v in proof["pi_b"][1]))
+    if not (_g1_valid(pi_a) and _g1_valid(pi_c) and _g2_valid(pi_b)):
+        return False
     out = multi_pairing([
         (pi_b, g1_neg(pi_a)),
         (vk["beta2"], vk["alpha1"]),

@@ -280,10 +280,15 @@ def compile_air(
     for li, lk in enumerate(air.lookups):
         f_c = _compress(lk.f_cols, u) if len(lk.f_cols) > 1 else lk.f_cols[0]
         t_c = _compress(lk.t_cols, u) if len(lk.t_cols) > 1 else lk.t_cols[0]
-        if lk.f_sel is not None:
-            f_c = lk.f_sel * (f_c - defval) + defval
+        # selector wrapping, pil-stark starkinfo order: the t side pads
+        # unselected rows with the defVal challenge; the f side pads with
+        # the (already-wrapped) CURRENT ROW's t value — guaranteed to be
+        # in t, unlike defVal (selF-only lookups, e.g. main.pil's memory
+        # and hashP reads, would otherwise inject defVal ∉ t)
         if lk.t_sel is not None:
             t_c = lk.t_sel * (t_c - defval) + defval
+        if lk.f_sel is not None:
+            f_c = lk.f_sel * (f_c - t_c) + t_c
         dim = max(_expr_dim(f_c, cm_dims), _expr_dim(t_c, cm_dims))
         f_id = add_exp(f_c)
         t_id = add_exp(t_c)

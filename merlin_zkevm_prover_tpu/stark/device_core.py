@@ -23,7 +23,7 @@ from ..ops import poseidon_gl
 from ..ops.goldilocks import GL, P, SHIFT
 from ..ops.goldilocks3 import GL3
 from .compiler import StarkInfo
-from .evaluator import EvalContext, eval_program
+from .evaluator import EvalContext, eval_expr, eval_program
 from .plookup import calculate_h1h2, calculate_z
 
 
@@ -117,28 +117,35 @@ def step3_compute(info: StarkInfo, sections: Dict[str, GL], const_n: GL,
     return _assemble_section(info.n, w3, cm3_cols, info, "cm3_n")
 
 
-def step4_compute(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
-                  challenges: GL3, publics: GL, x_2ns: GL, zi: GL) -> GL:
-    """Quotient on the ext domain, split into q_deg chunks -> cm4_2ns."""
-    n, n_ext = info.n, info.n_ext
+def step4_chunk(info: StarkInfo, k0: int, k1: int, sections: Dict[str, GL],
+                const_2ns: GL, challenges: GL3, publics: GL, x_2ns: GL,
+                zi: GL, acc: GL3) -> GL3:
+    """Horner-accumulate constraints [k0, k1) into the alpha-combined
+    quotient numerator: acc' = acc * alpha^(k1-k0) + sum alpha^i c_i.
+
+    The zkEVM circuit's 631 constraints at 2^19 rows cannot be stacked
+    in one graph (631 x 12.6 MB GL3 vectors ~ 8 GB); constraint batches
+    evaluate in separate jits with a fresh memo each, the running
+    accumulator carried across (same Horner order as the verifier's
+    c_exp tree)."""
+    n_ext = info.n_ext
     ctx = EvalContext(info=info, domain="ext", sections=sections,
                       const=const_2ns, challenges=challenges, publics=publics,
                       x=x_2ns, zi=zi)
-    cvals = eval_program(info.step42ns, ctx)
-    # alpha-combine the K constraint vectors with a scan (Horner order):
-    # acc = acc * alpha + c_k — matches the verifier's c_exp tree exactly.
-    stacked = gl3.stack(
-        [cvals[("cstr", k)] if isinstance(cvals[("cstr", k)], GL3)
-         else gl3.from_base(cvals[("cstr", k)])
-         for k in range(len(info.constraints))],
-        axis=0,
-    )
+    prog = info.step42ns[k0:k1]
+    cvals = eval_program(prog, ctx)
     alpha = challenges[4]
+    for k in range(k0, k1):
+        c = cvals[("cstr", k)]
+        if not isinstance(c, GL3):
+            c = gl3.from_base(c)
+        acc = gl3.add(gl3.mul(acc, alpha), c)
+    return acc
 
-    def body(acc, c):
-        return gl3.add(gl3.mul(acc, alpha), c), None
 
-    q_val, _ = jax.lax.scan(body, gl3.zeros((n_ext,)), stacked)
+def step4_finalize(info: StarkInfo, q_val: GL3, zi: GL) -> GL:
+    """q = numerator * Zi -> INTT -> q_deg coefficient chunks -> NTT."""
+    n, n_ext = info.n, info.n_ext
     q_val = gl3.mul_base(q_val, zi)
     d = nttmod.intt(_gl3_to_mat(q_val))
     shift_in = pow(pow(SHIFT, P - 2, P), n, P)
@@ -152,6 +159,16 @@ def step4_compute(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
     q_coeffs = GL(jnp.concatenate(cols_lo, axis=1),
                   jnp.concatenate(cols_hi, axis=1))
     return nttmod.ntt(q_coeffs)
+
+
+def step4_compute(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
+                  challenges: GL3, publics: GL, x_2ns: GL, zi: GL) -> GL:
+    """Quotient on the ext domain in one graph (small circuits; the
+    chunked path in StarkProver.prove is the production route)."""
+    acc = step4_chunk(info, 0, len(info.constraints), sections, const_2ns,
+                      challenges, publics, x_2ns, zi,
+                      gl3.zeros((info.n_ext,)))
+    return step4_finalize(info, acc, zi)
 
 
 def ev_pol_values(info: StarkInfo, kind: str, pid: int,
@@ -229,29 +246,25 @@ def step5_fri_pol(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
                       const=const_2ns, challenges=challenges, publics=publics,
                       x=x_2ns, zi=zi, evals=evals,
                       x_div_x_sub_xi=xdiv, x_div_x_sub_wxi=xdivw)
-    terms = eval_program(info.step52ns, ctx)
     v1 = challenges[5]
     v2 = challenges[6]
-
-    def combine(idxs) -> Optional[GL3]:
-        if not idxs:
-            return None
-        stacked = gl3.stack(
-            [terms[("fterm", k)] if isinstance(terms[("fterm", k)], GL3)
-             else gl3.from_base(terms[("fterm", k)]) for k in idxs],
-            axis=0,
-        )
-
-        def body(acc, t):
-            return gl3.add(gl3.mul(acc, v1), t), None
-
-        acc, _ = jax.lax.scan(body, gl3.zeros((n_ext,)), stacked)
-        return acc
-
-    plain = [k for k, (_, _, pr) in enumerate(info.ev_map) if not pr]
-    primed = [k for k, (_, _, pr) in enumerate(info.ev_map) if pr]
-    f_val = gl3.mul(combine(plain), xdiv)
-    acc_w = combine(primed)
+    # stream the Horner folds term-by-term: the zkEVM's ~1200-entry evmap
+    # cannot be stacked ((size_eval, 2^19) GL3 ~ 15 GB); each term is
+    # evaluated, folded into its accumulator, and freed (memory plan)
+    prog = {dest[1]: expr for dest, expr in info.step52ns}
+    acc_p: Optional[GL3] = None
+    acc_w: Optional[GL3] = None
+    for k, (_, _, pr) in enumerate(info.ev_map):
+        # fresh memo per term: a shared one would pin every term's
+        # vector (the exact blow-up this streaming avoids)
+        t = eval_expr(prog[k], ctx, {})
+        if not isinstance(t, GL3):
+            t = gl3.from_base(t)
+        if pr:
+            acc_w = t if acc_w is None else gl3.add(gl3.mul(acc_w, v1), t)
+        else:
+            acc_p = t if acc_p is None else gl3.add(gl3.mul(acc_p, v1), t)
+    f_val = gl3.mul(acc_p, xdiv)
     if acc_w is not None:
         f_val = gl3.add(f_val, gl3.mul(gl3.mul(acc_w, v2), xdivw))
     return f_val

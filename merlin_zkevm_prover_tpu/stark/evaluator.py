@@ -90,6 +90,10 @@ class EvalContext:
     x_div_x_sub_xi: Optional[GL3] = None
     x_div_x_sub_wxi: Optional[GL3] = None
     exp_pols: Dict[int, Value] = field(default_factory=dict)
+    # cm columns computed earlier in the SAME step program (e.g. the
+    # compiler's chained connection im pols reference previous cm3 ims
+    # before the section matrix exists)
+    pending_cm: Dict[int, Value] = field(default_factory=dict)
 
     @property
     def roll_k(self) -> int:
@@ -97,6 +101,15 @@ class EvalContext:
 
     def cm_value(self, pid: int, prime: bool) -> Value:
         pm = self.info.cm_pols[pid]
+        if pid in self.pending_cm:
+            v = self.pending_cm[pid]
+            if prime:
+                k = self.roll_k
+                if isinstance(v, GL3):
+                    return GL3(roll_gl(v.c0, k), roll_gl(v.c1, k),
+                               roll_gl(v.c2, k))
+                return roll_gl(v, k)
+            return v
         section = pm.section
         if self.domain == "ext" and section != "cm4_2ns":
             section = section.replace("_n", "_2ns")
@@ -188,7 +201,12 @@ def eval_program(
     memo: Dict[Expr, Value] = {}
     out: Dict[Tuple, Value] = {}
     for dest, expr in prog:
-        out[dest] = normalize(eval_expr(expr, ctx, memo), rows)
+        v = normalize(eval_expr(expr, ctx, memo), rows)
+        out[dest] = v
+        if dest[0] == "cm":
+            # later program entries may reference this column (chained
+            # connection im pols) before its section is assembled
+            ctx.pending_cm[dest[1]] = v
     return out
 
 

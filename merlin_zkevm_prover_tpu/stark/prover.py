@@ -104,7 +104,18 @@ class StarkProver:
             n_bits_ext=info.n_bits_ext)
         self._step2 = jax.jit(functools.partial(core.step2_compute, info))
         self._step3 = jax.jit(functools.partial(core.step3_compute, info))
-        self._step4 = jax.jit(functools.partial(core.step4_compute, info))
+        # step4 runs in constraint batches (memory plan: the zkEVM's 631
+        # constraints at 2^19 cannot evaluate in one graph)
+        k_total = len(info.constraints)
+        ch = 64
+        self._step4_spans = [(k0, min(k0 + ch, k_total))
+                             for k0 in range(0, k_total, ch)]
+        self._step4_chunks = [
+            jax.jit(functools.partial(core.step4_chunk, info, k0, k1))
+            for (k0, k1) in self._step4_spans
+        ]
+        self._step4_fin = jax.jit(functools.partial(core.step4_finalize,
+                                                    info))
         self._step5_evals = jax.jit(functools.partial(core.step5_evals, info))
         self._step5_fri = jax.jit(functools.partial(core.step5_fri_pol, info))
 
@@ -185,8 +196,11 @@ class StarkProver:
                 k: sections[k]
                 for k in ("cm1_2ns", "cm2_2ns", "cm3_2ns")
             }
-            cm4 = self._step4(ext_sections, self.const_2ns, ch_dev,
-                              publics_dev, self.x_2ns, self.zi)
+            acc = gl3.zeros((info.n_ext,))
+            for fn in self._step4_chunks:
+                acc = fn(ext_sections, self.const_2ns, ch_dev,
+                         publics_dev, self.x_2ns, self.zi, acc)
+            cm4 = self._step4_fin(acc, self.zi)
             sections["cm4_2ns"] = cm4
             tree = self.tree_cls(cm4)
             tree.merkelize()

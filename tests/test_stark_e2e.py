@@ -87,3 +87,33 @@ def test_invalid_witness_rejected():
     proof = prover.prove(trace)
     with pytest.raises(VerifyError):
         verify(info, prover.const_tree.root(), proof)
+
+
+def test_self_only_lookup_proves():
+    """A plookup with selF but no selT and a dim-1 t (the zkEVM main.pil
+    memory/hashP read shape): pil-stark wraps f as selF*(f - t) + t, so
+    unselected rows take the current row's t value (always present) —
+    the defVal challenge there would make the lookup unsatisfiable and
+    crash h1/h2 assembly with a dim mismatch (regression, r3)."""
+    n_bits, n = 4, 16
+    air = AIR("selonly", n_bits)
+    v = air.committed("v")
+    sel = air.committed("sel")
+    table = air.constant("TBL", np.arange(n, dtype=np.uint64))
+    air.lookup([v], [table], f_sel=sel)
+    air.constraint(sel * (sel - 1))
+
+    rng = np.random.default_rng(7)
+    trace = np.zeros((n, 2), dtype=np.uint64)
+    selv = rng.integers(0, 2, n, dtype=np.uint64)
+    vals = rng.integers(0, n, n, dtype=np.uint64)
+    # unselected rows hold junk NOT in the table: only selected rows
+    # must satisfy the lookup
+    trace[:, 0] = np.where(selv == 1, vals, np.uint64(12345678))
+    trace[:, 1] = selv
+
+    info = compile_air(air, n_queries=4, final_bits=2, fri_fold_bits=2)
+    const_vals = np.stack(air.const_values, axis=1)
+    prover = StarkProver(info, const_vals)
+    proof = prover.prove(trace)
+    verify(info, prover.const_tree.root(), proof)
