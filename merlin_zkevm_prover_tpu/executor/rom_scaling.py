@@ -76,8 +76,16 @@ def scale_rom(data: dict, n_bits: int) -> dict:
         names = [m for m in pat.findall(s) if m in orig]
         if not names:
             continue
-        assert len(set(names)) == 1, f"multiple scalable consts: {s}"
+        # the one-signed-occurrence rebase below is only valid when the
+        # constant appears exactly once, unscaled: multiple occurrences,
+        # mixed signs, or a multiplied use (e.g. 2*%MAX_CNT_X) would fold
+        # a different delta — fail loudly rather than rebase wrongly
+        assert len(names) == 1, f"multiple scalable-const occurrences: {s}"
         name = names[0]
+        assert not re.search(r"[\w)]\s*\*\s*%" + name + r"\b", s) and \
+            not re.search(r"%" + name + r"\s*\*", s) and \
+            not re.search(r"%" + name + r"\s*/", s), \
+            f"scaled/divided use of %{name} not rebasable: {s}"
         sign = -1 if re.search(r"-\s*%" + name + r"\b", s) else 1
         delta = sign * (new[name] - orig[name])
         key = "CONST" if "CONST" in line else "CONSTL"

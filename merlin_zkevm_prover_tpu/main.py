@@ -49,14 +49,34 @@ def build_backend(config: Config) -> StarkCircuitBackend:
             air, n_queries=max(config.proverNQueries, 16))
         zklog.info(f"zkEVM circuit at 2^{n_bits}: building constants ...")
         sprover = None  # built lazily: const LDE+tree is heavy
+        sprover_key = None
 
         def trace_builder(input_data, exec_result):
             air2, cm1, const, publics, _res = zkevm_model.prepare_batch(
                 input_data, n_bits, pil_path=pil_file,
                 rom_path=config.romFile)
-            nonlocal sprover
-            if sprover is None:
+            nonlocal sprover, sprover_key
+            # At reduced domains compact_reduced_tables makes the constant
+            # matrix batch-dependent; at the full 2^23 domain constants are
+            # batch-independent.  Key the cached prover (const LDE + Merkle
+            # tree) on the const matrix content so a second, different
+            # batch gets a matching const tree instead of the first
+            # batch's compacted lookup tables.
+            if n_bits >= 23:
+                key = "full"
+            else:
+                import hashlib
+
+                import numpy as _np
+
+                key = hashlib.sha256(
+                    _np.ascontiguousarray(const).tobytes()).hexdigest()
+            if sprover is None or key != sprover_key:
+                if sprover is not None:
+                    zklog.info("const matrix changed; rebuilding prover "
+                               "(reduced-domain batch-dependent constants)")
                 sprover = StarkProver(info, const)
+                sprover_key = key
                 backend.stark_prover = sprover
             return cm1, publics
 

@@ -85,12 +85,62 @@ def _as_2d(a: GL):
     return a.reshape(n, c), lambda x: x.reshape(*shape)
 
 
+@functools.lru_cache(maxsize=None)
+def _pease_twiddles(nbits: int, inverse: bool) -> np.ndarray:
+    """(nbits, N/2) stage twiddles of the constant-geometry DIF NTT:
+    stage s uses w_{2^(nbits-s+1)}^(i >> (s-1))."""
+    n2 = 1 << (nbits - 1)
+    rows = []
+    for s in range(1, nbits + 1):
+        root = gl.w_inv(nbits - s + 1) if inverse else gl.w(nbits - s + 1)
+        base = gl.powers_np(root, n2 >> (s - 1))
+        rows.append(np.repeat(base, 1 << (s - 1)))
+    return np.stack(rows, axis=0)
+
+
+# The scan form's twiddle table is (nbits, N/2) u64 — cap it so huge
+# transforms (TPU sizes route to Pallas anyway) fall back to the unrolled
+# stage loop instead of materializing a multi-GB table.
+_SCAN_MAX_BITS = 20
+
+
+def _ntt_2d_scan(a: GL, nbits: int, inverse: bool) -> GL:
+    """Constant-geometry (Pease) radix-2 DIF NTT: natural order in, one
+    bit-reversal gather out.  Every stage shares ONE scanned butterfly body
+    (u+v, (u-v)*tw, perfect shuffle), so the compiled graph is a single
+    loop instead of nbits unrolled stages — the dominant compile-time cost
+    of the CPU/oracle path."""
+    n = 1 << nbits
+    c = a.shape[1]
+    tws = gl.from_u64(_pease_twiddles(nbits, inverse))  # (nbits, n/2)
+
+    def body(x: GL, tw: GL):
+        u, v = x[: n // 2], x[n // 2:]
+        s_ = gl.add(u, v)
+        d = gl.mul(gl.sub(u, v),
+                   GL(jnp.broadcast_to(tw.lo[:, None], (n // 2, c)),
+                      jnp.broadcast_to(tw.hi[:, None], (n // 2, c))))
+        return GL(
+            jnp.stack([s_.lo, d.lo], axis=1).reshape(n, c),
+            jnp.stack([s_.hi, d.hi], axis=1).reshape(n, c),
+        ), None
+
+    x, _ = jax.lax.scan(body, a, tws)
+    perm = jnp.asarray(_bitrev_perm(nbits))
+    x = GL(jnp.take(x.lo, perm, axis=0), jnp.take(x.hi, perm, axis=0))
+    if inverse:
+        x = gl.mul(x, gl.const(_n_inv(nbits)))
+    return x
+
+
 def _ntt_2d(a: GL, nbits: int, inverse: bool) -> GL:
-    """In-order radix-2 DIT NTT over axis 0 of an (N, C) GL array."""
+    """In-order radix-2 NTT over axis 0 of an (N, C) GL array."""
     n = 1 << nbits
     c = a.shape[1]
     if nbits == 0:
         return a
+    if 2 <= nbits <= _SCAN_MAX_BITS:
+        return _ntt_2d_scan(a, nbits, inverse)
 
     perm = jnp.asarray(_bitrev_perm(nbits))
     x = GL(jnp.take(a.lo, perm, axis=0), jnp.take(a.hi, perm, axis=0))

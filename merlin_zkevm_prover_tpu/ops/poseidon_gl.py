@@ -108,20 +108,29 @@ def _rc_np(lo_rounds: int, hi_rounds: int) -> np.ndarray:
     )
 
 
-def _round_body(full: bool):
-    def body(st: GL, consts: GL):
-        st = gl.add(st, GL(consts.lo[:, None], consts.hi[:, None]))
-        if full:
-            st = _pow7(st)
-        else:
-            s0 = _pow7(st[0:1])
-            st = GL(
-                jnp.concatenate([s0.lo, st.lo[1:]], axis=0),
-                jnp.concatenate([s0.hi, st.hi[1:]], axis=0),
-            )
-        return _mds(st), None
+@functools.lru_cache(maxsize=1)
+def _full_round_mask() -> np.ndarray:
+    """(N_ROUNDS, WIDTH, 1) uint32 mask: 1 where the sbox applies."""
+    m = np.zeros((N_ROUNDS, WIDTH, 1), dtype=np.uint32)
+    m[:_HALF_F] = 1
+    m[_HALF_F + N_PARTIAL_ROUNDS:] = 1
+    m[:, 0] = 1  # lane 0 always goes through the sbox
+    return m
 
-    return body
+
+def _round_body(st: GL, xs):
+    consts, mask = xs
+    st = gl.add(st, GL(consts.lo[:, None], consts.hi[:, None]))
+    # partial rounds sbox lane 0 only: compute x^7 on every lane and
+    # mask-select — one scan body for all 30 rounds keeps the compiled
+    # graph small (3x fewer loop instantiations than split segments),
+    # and full rounds dominate the sponge's cost profile anyway
+    st7 = _pow7(st)
+    st = GL(
+        jnp.where(mask, st7.lo, st.lo),
+        jnp.where(mask, st7.hi, st.hi),
+    )
+    return _mds(st), None
 
 
 def permute(state: GL) -> GL:
@@ -131,12 +140,9 @@ def permute(state: GL) -> GL:
     if state.lo.ndim == 1:
         state = state.reshape(WIDTH, 1)
         squeeze = True
-    st, _ = jax.lax.scan(_round_body(True), state, gl.from_u64(_rc_np(0, _HALF_F)))
+    rc = gl.from_u64(_rc_np(0, N_ROUNDS))
     st, _ = jax.lax.scan(
-        _round_body(False), st, gl.from_u64(_rc_np(_HALF_F, _HALF_F + N_PARTIAL_ROUNDS))
-    )
-    st, _ = jax.lax.scan(
-        _round_body(True), st, gl.from_u64(_rc_np(_HALF_F + N_PARTIAL_ROUNDS, N_ROUNDS))
+        _round_body, state, (rc, jnp.asarray(_full_round_mask()))
     )
     return st.reshape(WIDTH) if squeeze else st
 
@@ -188,10 +194,52 @@ def node_hash(left: GL, right: GL) -> GL:
     return GL(outs.lo[:HASH_SIZE].T, outs.hi[:HASH_SIZE].T)
 
 
+# Above this height the per-level compute waste of the fixed-buffer loop
+# form (levels * h/2 hashes instead of h-1) outweighs its compile-time win;
+# large TPU trees route through the Pallas kernels anyway.
+_LOOP_MAX_H = 1 << 16
+
+
+def _merkle_nodes_loop(leaves: GL) -> GL:
+    """Fixed-buffer fori_loop tree build: ONE compiled node-hash body shared
+    by every level (vs one scan instantiation per level in the unrolled
+    form).  Each iteration hashes a full h/2-pair batch; only the shrinking
+    valid prefix is meaningful, and each output region's owning level is the
+    last write that touches it, so garbage blocks are always overwritten."""
+    h = leaves.shape[0]
+    levels = h.bit_length() - 1
+    half = h // 2
+    out_sz = h - 1 + half  # scratch tail absorbs the fixed-size block writes
+
+    def body(lvl, carry):
+        buf, out, off = carry
+        zero = jnp.zeros((), off.dtype)
+        nh = node_hash(buf[0::2], buf[1::2])  # (half, 4); valid prefix only
+        out = GL(
+            jax.lax.dynamic_update_slice(out.lo, nh.lo, (off, zero)),
+            jax.lax.dynamic_update_slice(out.hi, nh.hi, (off, zero)),
+        )
+        buf = GL(
+            jax.lax.dynamic_update_slice(buf.lo, nh.lo, (zero, zero)),
+            jax.lax.dynamic_update_slice(buf.hi, nh.hi, (zero, zero)),
+        )
+        return buf, out, off + (h >> (lvl + 1))
+
+    _, out, _ = jax.lax.fori_loop(
+        0, levels, body, (leaves, gl.zeros((out_sz, 4)), jnp.int32(0))
+    )
+    return out[: h - 1]
+
+
 def merkle_nodes(leaves: GL) -> GL:
     """All tree levels above the given (h, 4) leaf digests: (h-1, 4),
     bottom-up with the root last — matching the reference MerkleTreeGL node
     layout (merkleTreeGL.hpp:24-41)."""
+    h = leaves.shape[0]
+    if h <= 1:
+        return gl.zeros((0, 4))
+    if 4 <= h <= _LOOP_MAX_H and (h & (h - 1)) == 0:
+        return _merkle_nodes_loop(leaves)
     levels = []
     cur = leaves
     while cur.shape[0] > 1:

@@ -23,21 +23,24 @@ from ..ops import goldilocks as gl
 from ..ops import ntt as nttmod
 from ..ops import poseidon_gl
 from ..ops.goldilocks import GL
-from .mesh import constrain_gl, shard_cols, shard_rows
+from .mesh import constrain_gl, reshard_cols_to_rows, shard_cols, shard_rows
 
 
 def commit_pipeline(trace: GL, n_bits: int, n_bits_ext: int, mesh: Mesh):
     """LDE + Merkle tree over the mesh.  Returns (lde, nodes).
 
     Call under jit with `trace` placed column-sharded; the function pins the
-    phase layouts so GSPMD emits: local column NTTs -> all-to-all ->
-    row-local Poseidon -> log-depth node reduction.
+    phase layouts so GSPMD emits: local column NTTs -> explicit
+    slice+all-gather reshard -> row-local Poseidon -> log-depth node
+    reduction.  The col->row reshard is the explicit collective of
+    mesh.reshard_cols_to_rows (constraint inference alone forces an
+    involuntary full rematerialization here).
     """
     trace = constrain_gl(trace, shard_cols(mesh))
     lde = nttmod.extend_pol(trace, n_bits, n_bits_ext)
     lde = constrain_gl(lde, shard_cols(mesh))
-    # reshard rows for hashing
-    lde_rows = constrain_gl(lde, shard_rows(mesh))
+    # reshard rows for hashing (explicit minimal collective)
+    lde_rows = reshard_cols_to_rows(lde, mesh)
     leaves = poseidon_gl.linear_hash(lde_rows)
     leaves = constrain_gl(leaves, shard_rows(mesh))
     upper = poseidon_gl.merkle_nodes(leaves)

@@ -19,8 +19,14 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map  # type: ignore
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..ops.goldilocks import GL
 
@@ -63,3 +69,50 @@ def constrain_gl(x: GL, sharding) -> GL:
         jax.lax.with_sharding_constraint(x.lo, sharding),
         jax.lax.with_sharding_constraint(x.hi, sharding),
     )
+
+
+def reshard_cols_to_rows(x: GL, mesh: Mesh) -> GL:
+    """Explicit col-sharded -> row-sharded reshard of an (N, C) matrix.
+
+    GSPMD cannot transit P(None, 'cols') -> P('rows', None) on this mesh
+    without an involuntary full rematerialization (the two shardings use
+    transposed device orders), so the reshard is written as the explicit
+    minimal collective: each device first takes its local *row* slice
+    (free), then one all-gather over the 'cols' axis assembles the full
+    column width.  Traffic per device = its final block, the lower bound.
+    """
+    rr = mesh.shape["rows"]
+    cc = mesh.shape["cols"]
+    n, c = x.lo.shape
+    # pad columns to a multiple of the 'cols' axis (the zkEVM's section
+    # widths — e.g. 7-col cm2 — need not divide the mesh); rows of the
+    # trace are always a power of two >= rr.
+    c_pad = (-c) % cc
+    if c_pad:
+        pad = [(0, 0), (0, c_pad)]
+        x = GL(jnp.pad(x.lo, pad), jnp.pad(x.hi, pad))
+
+    def f(lo, hi):
+        # in-spec P(None, 'cols'): local block (N, C/cc), replicated over
+        # 'rows'; slice this device's row block, then gather columns.
+        r = jax.lax.axis_index("rows")
+        nloc = lo.shape[0] // rr
+        lo_s = jax.lax.dynamic_slice_in_dim(lo, r * nloc, nloc, 0)
+        hi_s = jax.lax.dynamic_slice_in_dim(hi, r * nloc, nloc, 0)
+        lo_g = jax.lax.all_gather(lo_s, "cols", axis=1, tiled=True)
+        hi_g = jax.lax.all_gather(hi_s, "cols", axis=1, tiled=True)
+        return lo_g, hi_g
+
+    kw = dict(mesh=mesh,
+              in_specs=(P(None, "cols"), P(None, "cols")),
+              out_specs=(P("rows", None), P("rows", None)))
+    try:
+        # tiled all_gather over 'cols' makes the outputs value-replicated
+        # along 'cols', which the static VMA checker cannot infer
+        fn = shard_map(f, check_vma=False, **kw)
+    except TypeError:  # older jax: check_rep
+        fn = shard_map(f, check_rep=False, **kw)
+    lo, hi = fn(x.lo, x.hi)
+    if c_pad:
+        lo, hi = lo[:, :c], hi[:, :c]
+    return GL(lo, hi)

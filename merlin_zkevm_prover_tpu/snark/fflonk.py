@@ -283,6 +283,18 @@ def fflonk_setup(cs: PlonkCS, seed: int = 0) -> FflonkKey:
 def fflonk_prove(key: FflonkKey, a_vals: List[int], b_vals: List[int],
                  c_vals: List[int], rand: Optional[bytes] = None) -> Dict:
     cs, n, w = key.cs, key.cs.n, key.w
+    # rows n-2/n-1 are overwritten with blinding below; they must be
+    # selector-free, copy-free padding (r1cs_to_plonk reserves them)
+    for name in ("qL", "qR", "qM", "qO", "qC"):
+        sel = getattr(cs, name)
+        assert sel[n - 2] == 0 and sel[n - 1] == 0, (
+            f"blinding rows carry live selector {name}")
+    for col in range(3):
+        for row in (n - 2, n - 1):
+            assert cs.sigma[col * n + row] == col * n + row, (
+                "blinding rows participate in a copy cycle")
+    assert len(a_vals) <= n - 2 and len(b_vals) <= n - 2 and \
+        len(c_vals) <= n - 2, "wire values extend into the blinding rows"
     rnd = rand or os.urandom(32 * 10)
     b = [0] + [int.from_bytes(keccak256(rnd + bytes([i])), "big") % FR
                for i in range(1, 10)]

@@ -138,9 +138,11 @@ def r1cs_to_plonk(r1cs, witness: List[int]
         else:
             pb.gate(0, 0, 1, qo, qc, sa, sb, sc, va, vb, vcell)
 
-    # pad to a power of two
+    # pad to a power of two, reserving the last TWO rows: fflonk_prove
+    # blinds by overwriting wire evaluations at rows n-2 and n-1, so real
+    # gates must never occupy them
     n = 8
-    while n < pb.n_gates:
+    while n < pb.n_gates + 2:
         n *= 2
     while pb.n_gates < n:
         pb.gate(0, 0, 0, 0, 0, -1, -1, -1, 0, 0, 0)

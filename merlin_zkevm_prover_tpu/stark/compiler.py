@@ -126,6 +126,14 @@ class StarkInfo:
     def blowup_bits(self):
         return self.n_bits_ext - self.n_bits
 
+    @property
+    def security_bits(self) -> int:
+        """Conjectured FRI soundness (no grinding): blowup_bits per query.
+        Lowering the blowup (deg-3 systems run at blowup 2) halves the
+        per-query contribution — callers must raise n_queries to keep a
+        target product (compile_air(security_target_bits=...) does this)."""
+        return self.n_queries * self.blowup_bits
+
     def ev_index(self, kind: str, pid: int, prime: bool) -> int:
         return self.ev_map.index((kind, pid, bool(prime)))
 
@@ -231,8 +239,16 @@ def compile_air(
     fri_fold_bits: int = 2,
     final_bits: Optional[int] = None,
     blowup_bits: Optional[int] = None,
+    security_target_bits: Optional[int] = None,
 ) -> StarkInfo:
-    """Lower an AIR to a StarkInfo (the proving-key-equivalent structure)."""
+    """Lower an AIR to a StarkInfo (the proving-key-equivalent structure).
+
+    Soundness note: conjectured FRI security is ~blowup_bits per query
+    (no grinding), and blowup is auto-lowered to the constraint-degree
+    minimum (deg-3 systems run at blowup 2).  `n_queries` is therefore a
+    *floor*: pass `security_target_bits` (production: 100+) to have the
+    query count raised to ceil(target / blowup_bits) after the blowup is
+    known, instead of hand-tuning per circuit."""
     u = challenge(CH_U)
     defval = challenge(CH_DEFVAL)
     gamma = challenge(CH_GAMMA)
@@ -468,6 +484,9 @@ def compile_air(
     )
     q_deg = max(max_deg - 1, 1)
     n_bits_ext = air.n_bits + blowup_bits
+    if security_target_bits is not None:
+        n_queries = max(n_queries,
+                        -(-security_target_bits // blowup_bits))
 
     # combined constraint polynomial (Horner in alpha, pil-stark style).
     # The tree form drives the verifier; the prover evaluates the step42ns

@@ -161,11 +161,39 @@ def step4_finalize(info: StarkInfo, q_val: GL3, zi: GL) -> GL:
     return nttmod.ntt(q_coeffs)
 
 
+# Stacking threshold for the compact scan paths: a (K, n_ext) GL3 stack is
+# K * n_ext * 24 bytes; beyond this the streamed Horner loops (fresh memo,
+# one term live at a time) take over.  The zkEVM's 631 constraints at 2^19
+# are ~7.9 GB stacked -> streamed; the smoke/recursion circuits are a few
+# MB -> one compact lax.scan (small graphs, fast XLA compiles).
+_STACK_BYTES_LIMIT = 256 << 20
+
+
 def step4_compute(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
                   challenges: GL3, publics: GL, x_2ns: GL, zi: GL) -> GL:
-    """Quotient on the ext domain in one graph (small circuits; the
-    chunked path in StarkProver.prove is the production route)."""
-    acc = step4_chunk(info, 0, len(info.constraints), sections, const_2ns,
+    """Quotient on the ext domain in one graph.  Small circuits stack the
+    constraint vectors and alpha-combine with a lax.scan (compact graph —
+    the multi-chip dry-run and recursion circuits compile in seconds);
+    large ones fall back to the chunked streaming of step4_chunk (the
+    production route in StarkProver.prove)."""
+    K = len(info.constraints)
+    if K * info.n_ext * 24 <= _STACK_BYTES_LIMIT:
+        ctx = EvalContext(info=info, domain="ext", sections=sections,
+                          const=const_2ns, challenges=challenges,
+                          publics=publics, x=x_2ns, zi=zi)
+        cvals = eval_program(info.step42ns, ctx)
+        stacked = gl3.stack(
+            [cvals[("cstr", k)] if isinstance(cvals[("cstr", k)], GL3)
+             else gl3.from_base(cvals[("cstr", k)]) for k in range(K)],
+            axis=0)
+        alpha = challenges[4]
+
+        def body(acc, c):
+            return gl3.add(gl3.mul(acc, alpha), c), None
+
+        q_val, _ = jax.lax.scan(body, gl3.zeros((info.n_ext,)), stacked)
+        return step4_finalize(info, q_val, zi)
+    acc = step4_chunk(info, 0, K, sections, const_2ns,
                       challenges, publics, x_2ns, zi,
                       gl3.zeros((info.n_ext,)))
     return step4_finalize(info, acc, zi)
@@ -248,6 +276,32 @@ def step5_fri_pol(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
                       x_div_x_sub_xi=xdiv, x_div_x_sub_wxi=xdivw)
     v1 = challenges[5]
     v2 = challenges[6]
+    if len(info.ev_map) * n_ext * 24 <= _STACK_BYTES_LIMIT:
+        # compact path: shared-memo program + stacked lax.scan Horner
+        # folds — small graphs for small circuits (dry-run, recursion)
+        terms = eval_program(info.step52ns, ctx)
+
+        def combine(idxs) -> Optional[GL3]:
+            if not idxs:
+                return None
+            stacked = gl3.stack(
+                [terms[("fterm", k)] if isinstance(terms[("fterm", k)], GL3)
+                 else gl3.from_base(terms[("fterm", k)]) for k in idxs],
+                axis=0)
+
+            def body(acc, t):
+                return gl3.add(gl3.mul(acc, v1), t), None
+
+            acc, _ = jax.lax.scan(body, gl3.zeros((n_ext,)), stacked)
+            return acc
+
+        plain = [k for k, (_, _, pr) in enumerate(info.ev_map) if not pr]
+        primed = [k for k, (_, _, pr) in enumerate(info.ev_map) if pr]
+        f_val = gl3.mul(combine(plain), xdiv)
+        acc_w = combine(primed)
+        if acc_w is not None:
+            f_val = gl3.add(f_val, gl3.mul(gl3.mul(acc_w, v2), xdivw))
+        return f_val
     # stream the Horner folds term-by-term: the zkEVM's ~1200-entry evmap
     # cannot be stacked ((size_eval, 2^19) GL3 ~ 15 GB); each term is
     # evaluated, folded into its accumulator, and freed (memory plan)
