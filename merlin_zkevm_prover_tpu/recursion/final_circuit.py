@@ -313,54 +313,68 @@ def _p17_exp5(r: R1CSBuilder, x: Lin) -> Lin:
     return r.mul(x4, x)
 
 
-def poseidon17(r: R1CSBuilder, state: List[Lin]) -> List[Lin]:
-    assert len(state) == PT
-    st = [r.lc_add(state[i], r.const(PC[i])) for i in range(PT)]
+def poseidon_t(r: R1CSBuilder, state: List[Lin]) -> List[Lin]:
+    """In-R1CS Poseidon for any width 2..17 (optimized circomlib form).
+    The BN128 linear hash runs its final partial chunk at t = pending+1
+    (reference merkleTreeBN128.cpp:130-136), so the in-circuit hash must
+    dispatch on the state width exactly like ops/poseidon_bn254.permute_t."""
+    t = len(state)
+    if t == PT:
+        c, s, m, p, n_rounds_p = PC, PS, PM, PP, N_ROUNDS_P
+    else:
+        from ..ops.poseidon_bn254 import _all_t_tables
+
+        c, s, m, p, n_rounds_p = _all_t_tables()[t]
+    st = [r.lc_add(state[i], r.const(c[i])) for i in range(t)]
     half_f = N_ROUNDS_F // 2
 
     def mix(vals, mat):
         out = []
-        for i in range(PT):
+        for i in range(t):
             acc: Lin = {}
-            for j in range(PT):
+            for j in range(t):
                 acc = r.lc_add(acc, r.lc_scale(vals[j], mat[j][i]))
             out.append(acc)
         return out
 
     for rr in range(half_f - 1):
         st = [_p17_exp5(r, x) for x in st]
-        st = [r.lc_add(st[i], r.const(PC[(rr + 1) * PT + i]))
-              for i in range(PT)]
-        st = mix(st, PM)
+        st = [r.lc_add(st[i], r.const(c[(rr + 1) * t + i]))
+              for i in range(t)]
+        st = mix(st, m)
     st = [_p17_exp5(r, x) for x in st]
-    st = [r.lc_add(st[i], r.const(PC[half_f * PT + i])) for i in range(PT)]
-    st = mix(st, PP)
-    for rr in range(N_ROUNDS_P):
+    st = [r.lc_add(st[i], r.const(c[half_f * t + i])) for i in range(t)]
+    st = mix(st, p)
+    for rr in range(n_rounds_p):
         st0 = _p17_exp5(r, st[0])
-        st0 = r.lc_add(st0, r.const(PC[(half_f + 1) * PT + rr]))
-        base = (PT * 2 - 1) * rr
-        new0: Lin = r.lc_scale(st0, PS[base])
-        for j in range(1, PT):
-            new0 = r.lc_add(new0, r.lc_scale(st[j], PS[base + j]))
+        st0 = r.lc_add(st0, r.const(c[(half_f + 1) * t + rr]))
+        base = (t * 2 - 1) * rr
+        new0: Lin = r.lc_scale(st0, s[base])
+        for j in range(1, t):
+            new0 = r.lc_add(new0, r.lc_scale(st[j], s[base + j]))
         new = [new0]
-        for k in range(1, PT):
+        for k in range(1, t):
             new.append(r.lc_add(st[k],
-                                r.lc_scale(st0, PS[base + PT + k - 1])))
+                                r.lc_scale(st0, s[base + t + k - 1])))
         st = new
     for rr in range(half_f - 1):
         st = [_p17_exp5(r, x) for x in st]
         st = [
             r.lc_add(
                 st[i],
-                r.const(PC[(half_f + 1) * PT + N_ROUNDS_P +
-                           rr * PT + i]),
+                r.const(c[(half_f + 1) * t + n_rounds_p + rr * t + i]),
             )
-            for i in range(PT)
+            for i in range(t)
         ]
-        st = mix(st, PM)
+        st = mix(st, m)
     st = [_p17_exp5(r, x) for x in st]
-    st = mix(st, PM)
+    st = mix(st, m)
     return st
+
+
+def poseidon17(r: R1CSBuilder, state: List[Lin]) -> List[Lin]:
+    assert len(state) == PT
+    return poseidon_t(r, state)
 
 
 # ---------------------------------------------------------------------------
@@ -415,20 +429,16 @@ class FTranscript:
         return tuple(out)
 
     def get_permutation_bits(self, n: int, n_bits: int) -> List[List[Lin]]:
-        """Mirror of TranscriptBN128.get_permutations over bit wires."""
-        out = []
-        bits = self._fr_bits()
-        pos = 0
-        bits_left = 253
-        for _ in range(n):
-            if bits_left < n_bits:
-                bits = self._fr_bits()
-                pos = 0
-                bits_left = 253
-            out.append(bits[pos: pos + n_bits])
-            pos += n_bits
-            bits_left -= n_bits
-        return out
+        """Mirror of TranscriptBN128.get_permutations over bit wires:
+        ceil(n*n_bits/253) fields drawn up front, indices taken LSB-first
+        with bit-level continuation across field boundaries (reference
+        transcriptBN128.cpp:95-131)."""
+        total = n * n_bits
+        n_fields = (total - 1) // 253 + 1
+        stream: List[Lin] = []
+        for _ in range(n_fields):
+            stream.extend(self._fr_bits()[:253])
+        return [stream[i * n_bits:(i + 1) * n_bits] for i in range(n)]
 
 
 # ---------------------------------------------------------------------------
@@ -490,19 +500,33 @@ def pack_rows_lin(r: R1CSBuilder, felts: List[GLW]) -> List[Lin]:
 
 
 def linear_hash_lin(r: R1CSBuilder, packed: List[Lin]) -> Lin:
+    """Mirror of ops/poseidon_bn254.linear_hash: 16-wide chunks with
+    capacity chaining; the final partial chunk at t = pending+1."""
     acc: Lin = {}
     if not packed:
         return poseidon17(r, [{} for _ in range(PT)])[0]
     for off in range(0, len(packed), 16):
         chunk = packed[off: off + 16]
-        chunk = chunk + [{} for _ in range(16 - len(chunk))]
-        acc = poseidon17(r, [acc] + chunk)[0]
+        acc = poseidon_t(r, [acc] + chunk)[0]
     return acc
+
+
+def leaf_hash_lin(r: R1CSBuilder, felts: List[GLW]) -> Lin:
+    """Mirror of stark/merkle_bn128.leaf_hash: rows of width <= 4 are one
+    packed Fr element (4 felts per 64-bit limb, no hash); wider rows pack
+    3-per-Fr and sponge-hash."""
+    if len(felts) <= 4:
+        lin: Lin = {}
+        for i, f in enumerate(felts):
+            assert f.bound <= 1 << 64
+            lin = r.lc_add(lin, r.lc_scale(f.lin, 1 << (64 * i)))
+        return lin
+    return linear_hash_lin(r, pack_rows_lin(r, felts))
 
 
 def merkle_verify_r1(r: R1CSBuilder, root: Lin, felts: List[GLW],
                      path_bits: List[Lin], groups: List[List[Lin]]) -> None:
-    h = linear_hash_lin(r, pack_rows_lin(r, felts))
+    h = leaf_hash_lin(r, felts)
     pos = 0
     for group in groups:
         nb = min(4, len(path_bits) - pos)

@@ -31,14 +31,25 @@ def pack_row(felts: List[int]) -> List[int]:
     return out
 
 
+def leaf_hash(felts: List[int]) -> int:
+    """Reference leaf semantics (merkleTreeBN128.cpp:88-152): rows of
+    width <= 4 are stored as ONE packed Fr element (4 felts per limb, no
+    hash); wider rows are packed 3-per-Fr and sponge-hashed with the
+    final partial chunk at t = pending+1."""
+    if len(felts) <= 4:
+        v = 0
+        for i, c in enumerate(felts):
+            v |= int(c) << (64 * i)
+        return v % R_MOD
+    return poseidon_bn254.linear_hash(pack_row(felts))
+
+
 class MerkleTreeBN128:
     def __init__(self, rows: List[List[int]]):
         """rows: height x width Goldilocks felt rows."""
         self.height = len(rows)
         self.width = len(rows[0]) if rows else 0
-        self.leaves = [
-            poseidon_bn254.linear_hash(pack_row(r)) for r in rows
-        ]
+        self.leaves = [leaf_hash(r) for r in rows]
         self.levels: List[List[int]] = [self.leaves]
         cur = self.leaves
         while len(cur) > 1:
@@ -72,7 +83,7 @@ class MerkleTreeBN128:
     @staticmethod
     def verify_proof(root: int, idx: int, row: List[int],
                      siblings: List[List[int]]) -> bool:
-        h = poseidon_bn254.linear_hash(pack_row(row))
+        h = leaf_hash(row)
         i = idx
         for group in siblings:
             pos = i % ARITY
@@ -130,14 +141,22 @@ class TranscriptBN128:
                 for i in range(n)]
 
     def get_permutations(self, n: int, n_bits: int) -> List[int]:
+        """n query indices of n_bits each, drawn LSB-first from ceil(n *
+        n_bits / 253)-many 253-bit squeezes; an index may SPAN two fields
+        (reference transcriptBN128.cpp:95-131 getPermutations)."""
+        total = n * n_bits
+        n_fields = (total - 1) // 253 + 1
+        fields = [self.get_field_fr() for _ in range(n_fields)]
         out = []
-        fr = self.get_field_fr()
-        bits_left = 253
+        cur, bit = 0, 0
         for _ in range(n):
-            if bits_left < n_bits:
-                fr = self.get_field_fr()
-                bits_left = 253
-            out.append(fr & ((1 << n_bits) - 1))
-            fr >>= n_bits
-            bits_left -= n_bits
+            a = 0
+            for j in range(n_bits):
+                if (fields[cur] >> bit) & 1:
+                    a += 1 << j
+                bit += 1
+                if bit == 253:
+                    bit = 0
+                    cur += 1
+            out.append(a)
         return out
