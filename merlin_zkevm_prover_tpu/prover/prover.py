@@ -123,11 +123,21 @@ class Prover:
         return {
             "status": "computing" if self.current else "idle",
             "current": self.current.uuid if self.current else "",
+            "currentComputingRequestId":
+                self.current.uuid if self.current else "",
+            "currentComputingStartTime": int(self.current.created)
+            if self.current else 0,
             "lastComputed": self.last_computed.uuid
             if self.last_computed else "",
+            "lastComputedRequestId": self.last_computed.uuid
+            if self.last_computed else "",
+            "lastComputedEndTime": int(self.last_computed.completed)
+            if self.last_computed else 0,
             "pending": pending,
+            "pendingRequestQueueIds": pending,
             "proverName": self.config.proverName,
             "proverID": self.config.proverID,
+            "forkID": getattr(self.config, "forkID", 5),
         }
 
     def shutdown(self):

@@ -98,6 +98,30 @@ class AggregatorClient:
             )
             out.get_status_response.prover_name = st["proverName"]
             out.get_status_response.prover_id = st["proverID"]
+            # full GetStatusResponse parity (ref aggregator.proto:150-176)
+            r = out.get_status_response
+            r.last_computed_request_id = st.get("lastComputedRequestId", "")
+            r.last_computed_end_time = int(st.get("lastComputedEndTime", 0))
+            r.current_computing_request_id = st.get(
+                "currentComputingRequestId", "")
+            r.current_computing_start_time = int(
+                st.get("currentComputingStartTime", 0))
+            r.version_proto = "v0_0_1"
+            r.version_server = st.get("version", "0.0.1")
+            r.pending_request_queue_ids.extend(
+                st.get("pendingRequestQueueIds", []))
+            r.fork_id = int(st.get("forkID", 5))
+            try:
+                import os as _os
+
+                r.number_of_cores = _os.cpu_count() or 0
+                with open("/proc/meminfo") as f:
+                    mem = {ln.split(":")[0]: int(ln.split()[1])
+                           for ln in f if ":" in ln}
+                r.total_memory = mem.get("MemTotal", 0) * 1024
+                r.free_memory = mem.get("MemAvailable", 0) * 1024
+            except Exception:  # pragma: no cover
+                pass
         elif which == "gen_batch_proof_request":
             inp = msg.gen_batch_proof_request.input
             input_data = {
@@ -146,18 +170,18 @@ class AggregatorClient:
                 timeout=msg.get_proof_request.timeout or None,
             )
             if req is None:
-                out.get_proof_response.status = \
-                    aggregator_pb2.GetProofResponse.STATUS_ERROR
+                out.get_proof_response.result = \
+                    aggregator_pb2.GetProofResponse.RESULT_ERROR
             elif not req.done.is_set():
-                out.get_proof_response.status = \
-                    aggregator_pb2.GetProofResponse.STATUS_PENDING
+                out.get_proof_response.result = \
+                    aggregator_pb2.GetProofResponse.RESULT_PENDING
             elif req.error:
-                out.get_proof_response.status = \
-                    aggregator_pb2.GetProofResponse.STATUS_COMPLETED_ERR
+                out.get_proof_response.result = \
+                    aggregator_pb2.GetProofResponse.RESULT_COMPLETED_ERROR
                 out.get_proof_response.result_string = req.error
             else:
-                out.get_proof_response.status = \
-                    aggregator_pb2.GetProofResponse.STATUS_COMPLETED_OK
+                out.get_proof_response.result = \
+                    aggregator_pb2.GetProofResponse.RESULT_COMPLETED_OK
                 out.get_proof_response.recursive_proof = json.dumps(
                     req.result
                 )

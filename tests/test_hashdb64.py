@@ -56,3 +56,76 @@ def test_state_manager64_flow():
     final = sm.flush("batch1")
     assert final == r2
     assert sm.db.kv_latest[k1] == 100
+
+
+def test_state_manager64_substate_chain_with_revert():
+    """A tx whose middle sub-states revert must consolidate only the
+    surviving chain (reference state_manager_64.cpp flush backward walk)."""
+    from merlin_zkevm_prover_tpu.hashdb.hashdb64 import (
+        PERSISTENCE_TEMPORARY,
+        StateManagerError,
+    )
+
+    sm = StateManager64()
+    u = "batchA"
+    r0 = (0, 0, 0, 0)
+    rA = (10, 0, 0, 1)
+    rB = (20, 0, 0, 2)  # reverted branch
+    rC = (30, 0, 0, 3)
+
+    # tx0: open at r0 -> write k1 -> close at rA
+    sm.set_old_state_root(u, 0, r0)
+    sm.write(u, 0, (1, 1, 1, 1), 111)
+    sm.set_new_state_root(u, 0, rA)
+    # tx0 continues: a sub-state that gets REVERTED (opens at rA,
+    # closes at rB, writes k2) ...
+    sm.set_old_state_root(u, 0, rA)
+    sm.write(u, 0, (2, 2, 2, 2), 222)
+    sm.set_new_state_root(u, 0, rB)
+    # ... then the executor rolls back to rA and takes another path
+    sm.set_old_state_root(u, 0, rA)
+    sm.write(u, 0, (3, 3, 3, 3), 333)
+    sm.set_new_state_root(u, 0, rC)
+
+    # temporary-persistence writes are dropped at flush
+    sm.set_old_state_root(u, 0, r0, PERSISTENCE_TEMPORARY)
+    sm.write(u, 0, (9, 9, 9, 9), 999, PERSISTENCE_TEMPORARY)
+    sm.set_new_state_root(u, 0, rA, PERSISTENCE_TEMPORARY)
+
+    # uncommitted reads see the newest write
+    assert sm.read(u, (3, 3, 3, 3)) == 333
+
+    flush_id, sent_id = sm.flush_batch(u)
+    assert flush_id == sent_id == 1
+    # surviving chain: r0->rA (k1), rA->rC (k3); k2 (reverted) pruned
+    assert sm.db.kv_latest[(1, 1, 1, 1)] == 111
+    assert sm.db.kv_latest[(3, 3, 3, 3)] == 333
+    assert (2, 2, 2, 2) not in sm.db.kv_latest
+    assert (9, 9, 9, 9) not in sm.db.kv_latest
+    # consolidated version recorded for the rebuilt root
+    assert sm.db.latest_version == 1
+    ver = sm.db.latest_version
+    assert sm.db.read_kv(ver, (1, 1, 1, 1)) == 111
+
+    # protocol errors fail loudly
+    try:
+        sm.set_new_state_root("fresh", 0, rA)
+        raise AssertionError("expected StateManagerError")
+    except StateManagerError:
+        pass
+
+
+def test_database64_versioned_kv():
+    db = Database64()
+    k = (7, 7, 7, 7)
+    db.write_version((1, 0, 0, 0), 1)
+    db.write_kv(1, k, 100)
+    db.write_version((2, 0, 0, 0), 2)
+    db.write_kv(2, k, 200)
+    assert db.read_kv(1, k) == 100
+    assert db.read_kv(2, k) == 200
+    assert db.read_version((2, 0, 0, 0)) == 2
+    assert db.kv_latest[k] == 200
+    db.flush()
+    st = db.get_flush_status()
+    assert st["storedFlushId"] == st["lastFlushId"] == 1
