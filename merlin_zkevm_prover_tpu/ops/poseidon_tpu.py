@@ -23,9 +23,18 @@ Field arithmetic is the same 2x-uint32-limb Goldilocks as ops/goldilocks.py
 (16-bit half-word products + the 2^64 = 2^32 - 1 reduction), so results are
 bit-exact with the jnp path and with the reference's uint64 arithmetic.
 
-The MDS multiply accumulates in 16-bit limb space: every scaled sum fits
+The MDS multiply accumulates in 22-bit limb space: every scaled sum fits
 uint32 (sum of circulant coefficients is 264 + 8 diagonal < 2^9, so
-accumulators stay < 2^25), followed by a single 96-bit reduction.
+accumulators stay < 2^31), followed by a single 96-bit reduction.
+
+Round internals use *deferred canonicalization*: all field ops keep values
+as arbitrary residues in [0, 2^64) (every reduction folds 2^64 = EPS and
+2^96 = -1 but skips the final >= p normalization), which is sound because
+every consumer — the 64x64 multiply, the carry-folding add, the MDS limb
+split — is residue-preserving on full uint64 inputs.  Outputs are
+canonicalized once after the last round, so results stay bit-exact with
+the jnp path and the reference's uint64 arithmetic.  x^7 runs as two
+squarings (3 half-products instead of 4) plus two multiplies.
 """
 
 from __future__ import annotations
@@ -126,7 +135,10 @@ def _canon(lo, hi):
 
 
 def _reduce128(r0, r1, r2, r3):
-    """r0 + r1*2^32 + r2*2^64 + r3*2^96 mod p (2^64 = EPS, 2^96 = -1)."""
+    """r0 + r1*2^32 + r2*2^64 + r3*2^96 mod p (2^64 = EPS, 2^96 = -1).
+
+    Returns a residue in [0, 2^64) — NOT normalized below p (deferred
+    canonicalization; see module docstring)."""
     s_lo = r0 - r3
     b0 = _u32(r0 < r3)
     s_hi = r1 - b0
@@ -144,11 +156,11 @@ def _reduce128(r0, r1, r2, r3):
     carry = c1 | c2
     lo2 = lo + carry * _EPS
     hi2 = hi + _u32(lo2 < lo)
-    return _canon(lo2, hi2)
+    return lo2, hi2
 
 
 def _reduce96(r0, r1, r2):
-    """r0 + r1*2^32 + r2*2^64 mod p with small r2 (< 2^31)."""
+    """r0 + r1*2^32 + r2*2^64 mod p with small r2 (< 2^31); in [0, 2^64)."""
     t1lo = jnp.zeros_like(r2) - r2
     t1hi = r2 - _u32(r2 != 0)
     lo = r0 + t1lo
@@ -160,7 +172,7 @@ def _reduce96(r0, r1, r2):
     carry = c1 | c2
     lo2 = lo + carry * _EPS
     hi2 = hi + _u32(lo2 < lo)
-    return _canon(lo2, hi2)
+    return lo2, hi2
 
 
 def _gl_mul(a, b):
@@ -185,6 +197,27 @@ def _gl_mul(a, b):
     return _reduce128(r0, r1, r2, r3)
 
 
+def _gl_sqr(a):
+    """a*a with the symmetric cross-product computed once and doubled."""
+    alo, ahi = a
+    p00l, p00h = _mul32(alo, alo)
+    p01l, p01h = _mul32(alo, ahi)
+    p11l, p11h = _mul32(ahi, ahi)
+    # 2*p01 is a 65-bit value at offset 32: its top bit lands at bit 96
+    top = p01h >> 31
+    d01h = (p01h << 1) | (p01l >> 31)
+    d01l = p01l << 1
+    r0 = p00l
+    r1 = p00h + d01l
+    k1 = _u32(r1 < p00h)
+    c2a = p11l + d01h
+    k2a = _u32(c2a < p11l)
+    r2 = c2a + k1
+    k2b = _u32(r2 < c2a)
+    r3 = p11h + (k2a + k2b + top)
+    return _reduce128(r0, r1, r2, r3)
+
+
 def _gl_add(a, b):
     alo, ahi = a
     blo, bhi = b
@@ -195,49 +228,55 @@ def _gl_add(a, b):
     carry = _u32(hi1 < ahi) | _u32(hi < hi1)
     lo2 = lo + carry * _EPS
     hi2 = hi + _u32(lo2 < lo)
-    return _canon(lo2, hi2)
+    return lo2, hi2
 
 
 def _pow7(a):
-    a2 = _gl_mul(a, a)
-    a4 = _gl_mul(a2, a2)
+    a2 = _gl_sqr(a)
+    a4 = _gl_sqr(a2)
     a3 = _gl_mul(a2, a)
     return _gl_mul(a3, a4)
+
+
+_M22 = np.uint32(0x3FFFFF)
 
 
 def _mds_lanes(lanes):
     """Circulant+diagonal MDS, unrolled over static lane indices.
 
-    lanes: list of 12 (lo, hi) pairs.  Accumulates CIRC[d]*lane[(i+d)%12]
-    per output lane in four 16-bit limb accumulators (all < 2^25).
+    lanes: list of 12 (lo, hi) pairs in [0, 2^64).  Splits each element
+    into three 22-bit limbs (x2 < 2^20) and accumulates CIRC[d] *
+    lane[(i+d)%12] per output lane in three uint32 accumulators: with
+    sum(CIRC) + diag = 272 < 2^9, acc0/acc1 < 2^31 and acc2 < 2^29.
     """
     limbs = []
     for (lo, hi) in lanes:
-        limbs.append((lo & _M16, lo >> 16, hi & _M16, hi >> 16))
+        limbs.append((
+            lo & _M22,
+            (lo >> 22) | ((hi & np.uint32(0xFFF)) << 10),
+            hi >> 12,
+        ))
     diag = np.uint32(MDS_DIAG[0])
     out = []
     for i in range(WIDTH):
-        acc = [None, None, None, None]
+        acc = [None, None, None]
         for d in range(WIDTH):
             c = np.uint32(MDS_CIRC[d])
             src = limbs[(i + d) % WIDTH]
-            for k in range(4):
+            for k in range(3):
                 term = src[k] * c
                 acc[k] = term if acc[k] is None else acc[k] + term
         if i == 0:
-            for k in range(4):
+            for k in range(3):
                 acc[k] = acc[k] + limbs[0][k] * diag
-        d0 = acc[0] & _M16
-        t1 = acc[1] + (acc[0] >> 16)
-        d1 = t1 & _M16
-        t2 = acc[2] + (t1 >> 16)
-        d2 = t2 & _M16
-        t3 = acc[3] + (t2 >> 16)
-        d3 = t3 & _M16
-        d4 = t3 >> 16
-        r0 = d0 | (d1 << 16)
-        r1 = d2 | (d3 << 16)
-        out.append(_reduce96(r0, r1, d4))
+        # recombine acc0 + acc1*2^22 + acc2*2^44 into (r0, r1, r2<2^10)
+        r0 = acc[0] + (acc[1] << 22)
+        c0 = _u32(r0 < acc[0])
+        m1 = (acc[1] >> 10) + c0
+        r1 = m1 + (acc[2] << 12)
+        c1 = _u32(r1 < m1)
+        r2 = (acc[2] >> 20) + c1
+        out.append(_reduce96(r0, r1, r2))
     return out
 
 
@@ -266,7 +305,8 @@ def _rounds(lanes, rc_lo_ref, rc_hi_ref):
                              seg_body(False), flat)
     flat = jax.lax.fori_loop(_HALF_F + N_PARTIAL_ROUNDS, N_ROUNDS,
                              seg_body(True), flat)
-    return [(flat[2 * i], flat[2 * i + 1]) for i in range(WIDTH)]
+    # rounds run with deferred canonicalization; normalize below p once here
+    return [_canon(flat[2 * i], flat[2 * i + 1]) for i in range(WIDTH)]
 
 
 # ---------------------------------------------------------------------------
