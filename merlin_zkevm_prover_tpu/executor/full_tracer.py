@@ -186,6 +186,11 @@ def _fea(limbs) -> int:
     return sum((int(v) & 0xFFFFFFFF) << (32 * i) for i, v in enumerate(limbs))
 
 
+# SMT key types (reference smt_utils.hpp SMT_KEY_*)
+_SMT_KEY_BALANCE = 0
+_SMT_KEY_NONCE = 1
+
+
 class FullTracer:
     def __init__(self, record_opcodes: bool = True,
                  config: Optional[TraceConfig] = None):
@@ -193,6 +198,11 @@ class FullTracer:
         self.current_tx: Optional[TxTrace] = None
         self.record_opcodes = record_opcodes
         self.config = config or TraceConfig()
+        # touched-address balances/nonces for the executor response
+        # (reference FullTracer::addReadWriteAddress, full_tracer.cpp:2347;
+        # surfaced as response.read_write_addresses,
+        # executor_service.cpp:342-352)
+        self.read_write_addresses: Dict[str, Dict[str, str]] = {}
         self._labels: Optional[Dict[str, int]] = None
         self._ctx_labels: Optional[Dict[str, int]] = None
         # call-depth machinery (reference full_tracer.cpp:1748-1757)
@@ -437,6 +447,18 @@ class FullTracer:
                     "key": key, "value": value,
                 })
                 self._ctx_storage.setdefault(int(ctx.CTX), {})[key] = value
+
+    def add_read_write_address(self, a_regs, b_regs, value: int) -> None:
+        """Record a touched address's balance/nonce from an SMT get/set
+        (reference addReadWriteAddress, called at the sRD/sWR ops with
+        A = address, B = SMT key type; main_executor.cpp:887,1030)."""
+        key_type = _fea(b_regs)
+        if key_type not in (_SMT_KEY_BALANCE, _SMT_KEY_NONCE):
+            return
+        addr = f"0x{_fea(a_regs) & ((1 << 160) - 1):040x}"
+        entry = self.read_write_addresses.setdefault(addr, {})
+        entry["balance" if key_type == _SMT_KEY_BALANCE else "nonce"] = \
+            str(int(value))
 
     def handle_store_log(self, ctx, params: List[int]) -> None:
         """storeLog(indexLog, isTopic, data) — assemble LOG0..4 entries."""

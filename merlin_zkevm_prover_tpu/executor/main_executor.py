@@ -204,11 +204,16 @@ class MainExecutor:
 
             ctx.pols = MainPolsRecorder(self.max_steps)
             ctx.N = self.max_steps
+        # the tracer always runs (the reference instantiates FullTracer for
+        # every request — responses/read_write_addresses are part of the
+        # ProcessBatch contract); per-opcode capture only when a trace was
+        # asked for (traceConfig.enabled) or in full record mode
         tc = (input_data or {}).get("traceConfig", {})
-        if tc.get("enabled") or record_trace:
-            from .full_tracer import FullTracer, TraceConfig
+        from .full_tracer import FullTracer, TraceConfig
 
-            ctx.tracer = FullTracer(config=TraceConfig.from_dict(tc))
+        ctx.tracer = FullTracer(
+            record_opcodes=bool(tc.get("enabled")) or record_trace,
+            config=TraceConfig.from_dict(tc))
         # initState (reference main_executor.cpp:4351-4367): B=oldStateRoot,
         # C=oldAccInputHash, SP=oldBatchNum, GAS=chainID, CTX=forkID
         inp = ctx.input_data
@@ -635,11 +640,17 @@ class MainExecutor:
             ctx.counters.poseidon_g += res.proof_hash_counter
             ctx.step_inc_counter = res.proof_hash_counter + 2
             ctx.required.storage.append(res)
+            if ctx.tracer is not None:
+                # reference main_executor.cpp:887 eval_addReadWriteAddress
+                ctx.tracer.add_read_write_address(ctx.A, ctx.B, res.value)
             return fea8(res.value)
         if line.flag("sWR"):
             key = storage_key(ctx)
             root = sr8to4(ctx.SR)
             value = fea2scalar(ctx.D)
+            if ctx.tracer is not None:
+                # reference main_executor.cpp:1030 eval_addReadWriteAddress
+                ctx.tracer.add_read_write_address(ctx.A, ctx.B, value)
             res = ctx.hashdb.set("", 0, root, key, value)
             ctx.counters.poseidon_g += res.proof_hash_counter
             ctx.step_inc_counter = res.proof_hash_counter + 2

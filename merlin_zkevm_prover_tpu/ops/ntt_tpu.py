@@ -670,13 +670,195 @@ def _ntt_kernel_v2(nbits: int, dif: bool, zero_top: bool,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# v3 kernel: SSA over 8-row register values (no whole-block restructuring)
+# ---------------------------------------------------------------------------
+#
+# The v2 kernel operates on whole (l, bc) VMEM tensors; every stage's
+# reshape/slice/stack is a full-block relayout, and measurement shows those
+# copies — not the butterfly arithmetic — dominate (stage cost is flat in m).
+# The v3 kernel mirrors the Poseidon kernel's structure instead: the block
+# lives as l/8 SSA values of shape (8, bc) (vector registers, spilled only
+# at stage granularity).  Butterflies with stride >= 8 rows pair VALUES —
+# pure SSA renaming, zero data movement.  The last three stages (stride
+# 4/2/1, inside a value's sublanes) use a roll+select formulation: partner
+# p[s] = x[s^m] from two sublane rolls and an iota mask, one full-width
+# twiddle multiply with the per-sublane constant vector baked in at build
+# time (sign-folded so high rows multiply by p - w), and a sublane select.
+
+
+_SC_OFF = {4: 0, 2: 8, 1: 16}
+
+
+@functools.lru_cache(maxsize=None)
+def _small_stage_consts_np(nbits: int, inverse: bool, dif: bool):
+    """(24,) uint64 sublane-stage multiplier table, rows 8k..8k+7 for the
+    stage with half m where _SC_OFF[m] == 8k: entry s is 1 on low rows and
+    (p - w_{2m}^(s & (m-1))) (DIF, sign folded) or w_{2m}^(s & (m-1)) (DIT)
+    on high rows."""
+    tbl = _stage_tables_np(nbits, inverse)
+    out = np.ones(24, dtype=np.uint64)
+    for m, off in _SC_OFF.items():
+        for s in range(8):
+            if s & m:
+                w = int(tbl[m - 1 + (s & (m - 1))])
+                out[off + s] = (P - w) % P if dif else w
+    return out
+
+
+def _small_stage_consts(nbits: int, inverse: bool, dif: bool):
+    t = _small_stage_consts_np(nbits, inverse, dif)
+    return (
+        jnp.asarray((t & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None]),
+        jnp.asarray((t >> np.uint64(32)).astype(np.uint32)[:, None]),
+    )
+
+
+def _ntt_kernel_v3(nbits: int, dif: bool, zero_top: bool,
+                   sep_scale: bool, canon: bool,
+                   const_scale: int | None, inverse: bool):
+    """Same ref signature/semantics as _ntt_kernel_v2, SSA formulation."""
+    l = 1 << nbits
+    g = l // 8
+    assert l >= 16 and g >= 2
+
+    def kernel(*refs):
+        it = iter(refs)
+        tw_lo_ref, tw_hi_ref = next(it), next(it)
+        sc_lo_ref, sc_hi_ref = next(it), next(it)
+        if sep_scale:
+            u_lo_ref, u_hi_ref = next(it), next(it)
+            v_lo_ref, v_hi_ref = next(it), next(it)
+        lo_ref, hi_ref = next(it), next(it)
+        out_lo_ref, out_hi_ref = next(it), next(it)
+        bc = out_lo_ref.shape[1]
+
+        def tw8(m, i):
+            # (8, bc)-broadcast twiddle rows j = i*8..i*8+7 of stage half m
+            o = m - 1 + i * 8
+            tl = tw_lo_ref[o: o + 8].reshape(8, 1)
+            th = tw_hi_ref[o: o + 8].reshape(8, 1)
+            return (jnp.broadcast_to(tl, (8, bc)),
+                    jnp.broadcast_to(th, (8, bc)))
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.uint32, (8, bc), 0)
+
+        def partner(x, m):
+            if m == 4:
+                return (jnp.roll(x[0], 4, axis=0), jnp.roll(x[1], 4, axis=0))
+            low = (sub_iota & np.uint32(m)) == 0
+            return (
+                jnp.where(low, jnp.roll(x[0], -m, axis=0),
+                          jnp.roll(x[0], m, axis=0)),
+                jnp.where(low, jnp.roll(x[1], -m, axis=0),
+                          jnp.roll(x[1], m, axis=0)),
+            )
+
+        def sublane_stage(x, m):
+            low = (sub_iota & np.uint32(m)) == 0
+            off = _SC_OFF[m]
+            c = (jnp.broadcast_to(
+                     sc_lo_ref[off: off + 8].reshape(8, 1), (8, bc)),
+                 jnp.broadcast_to(
+                     sc_hi_ref[off: off + 8].reshape(8, 1), (8, bc)))
+            if dif:
+                p = partner(x, m)
+                s = _gl_add(x, p)
+                d = _gl_sub(x, p)
+                d = _gl_mul(d, c)
+                return (jnp.where(low, s[0], d[0]),
+                        jnp.where(low, s[1], d[1]))
+            t = _gl_mul(x, c)
+            p = partner(t, m)
+            s = _gl_add(t, p)
+            d = _gl_sub(p, t)
+            return (jnp.where(low, s[0], d[0]),
+                    jnp.where(low, s[1], d[1]))
+
+        # ---- load values ----
+        in_g = g // 2 if zero_top else g
+        vals = [None] * g
+        for i in range(in_g):
+            vals[i] = (lo_ref[8 * i: 8 * i + 8, :], hi_ref[8 * i: 8 * i + 8, :])
+
+        # ---- stage plan ----
+        if dif:
+            value_halves = [1 << s for s in range(nbits - 1, 2, -1)]
+            first = True
+            for m in value_halves:
+                mm = m // 8
+                if zero_top and first:
+                    # top half of the input is zero: butterfly degenerates
+                    # to copy / twiddle-multiply of the lower half
+                    for i in range(g // 2):
+                        u = vals[i]
+                        vals[i + g // 2] = _gl_mul(u, tw8(m, i % mm))
+                    first = False
+                    continue
+                for b0 in range(0, g, 2 * mm):
+                    for i in range(mm):
+                        u = vals[b0 + i]
+                        v = vals[b0 + mm + i]
+                        a = _gl_add(u, v)
+                        d = _gl_sub(u, v)
+                        vals[b0 + i] = a
+                        vals[b0 + mm + i] = _gl_mul(d, tw8(m, i))
+                first = False
+            for m in (4, 2, 1):
+                for i in range(g):
+                    vals[i] = sublane_stage(vals[i], m)
+        else:
+            for m in (1, 2, 4):
+                for i in range(g):
+                    vals[i] = sublane_stage(vals[i], m)
+            for m in [1 << s for s in range(3, nbits)]:
+                mm = m // 8
+                for b0 in range(0, g, 2 * mm):
+                    for i in range(mm):
+                        u = vals[b0 + i]
+                        v = _gl_mul(vals[b0 + mm + i], tw8(m, i))
+                        vals[b0 + i] = _gl_add(u, v)
+                        vals[b0 + mm + i] = _gl_sub(u, v)
+
+        # ---- epilogue + store ----
+        for i in range(g):
+            x = vals[i]
+            if sep_scale:
+                ul = u_lo_ref[8 * i: 8 * i + 8].reshape(8, 1)
+                uh = u_hi_ref[8 * i: 8 * i + 8].reshape(8, 1)
+                x = _gl_mul(x, (jnp.broadcast_to(ul, (8, bc)),
+                                jnp.broadcast_to(uh, (8, bc))))
+                x = _gl_mul(x, (v_lo_ref[0:1, :] + jnp.zeros((8, bc),
+                                                             jnp.uint32),
+                                v_hi_ref[0:1, :] + jnp.zeros((8, bc),
+                                                             jnp.uint32)))
+            if const_scale is not None:
+                sl = jnp.full((8, bc), np.uint32(const_scale & 0xFFFFFFFF))
+                sh = jnp.full((8, bc), np.uint32(const_scale >> 32))
+                x = _gl_mul(x, (sl, sh))
+            if canon:
+                x = _canon_pair(x[0], x[1])
+            out_lo_ref[8 * i: 8 * i + 8, :] = x[0]
+            out_hi_ref[8 * i: 8 * i + 8, :] = x[1]
+
+    return kernel
+
+
+_V3 = True  # SSA kernel default; flip for A/B comparison
+
+
 @functools.lru_cache(maxsize=None)
 def _ntt_call_v2(nbits: int, n_blocks: int, dif: bool, zero_top: bool,
-                 sep: bool, canon: bool, const_scale, interpret: bool):
-    """pallas_call wrapper for the v2 kernel."""
+                 sep: bool, canon: bool, const_scale, interpret: bool,
+                 inverse: bool = False, v3: bool | None = None):
+    """pallas_call wrapper for the v2/v3 kernels."""
     l = 1 << nbits
     tw_len = max(l - 1, 1)
     in_l = l // 2 if zero_top else l
+    if v3 is None:
+        v3 = _V3
+    if l < 16:
+        v3 = False  # SSA form needs >= 2 eight-row values
 
     def fn(tw_lo, tw_hi, extras, lo, hi):
         in_specs = [
@@ -686,6 +868,15 @@ def _ntt_call_v2(nbits: int, n_blocks: int, dif: bool, zero_top: bool,
                          memory_space=pltpu.VMEM),
         ]
         args = [tw_lo, tw_hi]
+        if v3:
+            sc_lo, sc_hi = _small_stage_consts(nbits, inverse, dif)
+            in_specs += [
+                pl.BlockSpec((24, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [sc_lo, sc_hi]
         if sep:
             in_specs += [
                 pl.BlockSpec((l, 1), lambda i: (0, 0),
@@ -706,8 +897,14 @@ def _ntt_call_v2(nbits: int, n_blocks: int, dif: bool, zero_top: bool,
                          memory_space=pltpu.VMEM),
         ]
         args += [lo, hi]
+        if v3:
+            kern = _ntt_kernel_v3(nbits, dif, zero_top, sep, canon,
+                                  const_scale, inverse)
+        else:
+            kern = _ntt_kernel_v2(nbits, dif, zero_top, sep, canon,
+                                  const_scale)
         return pl.pallas_call(
-            _ntt_kernel_v2(nbits, dif, zero_top, sep, canon, const_scale),
+            kern,
             grid=(n_blocks,),
             interpret=interpret,
             in_specs=in_specs,
@@ -739,17 +936,26 @@ def _pad_cols(lo, hi, bc):
     return lo, hi, b
 
 
+@functools.lru_cache(maxsize=None)
+def _mid_gather_idx_np(n1_bits: int, n2_bits: int) -> np.ndarray:
+    """Flat (n2*n1,) row indices realising transpose + rev1-unreversal +
+    rev2-reversal as ONE gather: out flat row s*n1 + k1 reads input flat
+    row rev1(k1)*n2 + rev2(s)."""
+    rev1 = _bitrev(n1_bits).astype(np.int32)
+    rev2 = _bitrev(n2_bits).astype(np.int32)
+    return (rev2[:, None] + (rev1[None, :] << n2_bits)).reshape(-1)
+
+
 def _mid_gather(lo, hi, n1_bits: int, n2_bits: int, c: int, inverse: bool):
     """Fused transpose + k1 un-reversal + i2 bit-reversal + four-step
     twiddle between the DIF and DIT kernels:
     z[s, k1, c] = y[rev1(k1), rev2(s), c] * w_N^(k1 * rev2(s))."""
     n1, n2 = 1 << n1_bits, 1 << n2_bits
-    rev1 = jnp.asarray(_bitrev(n1_bits))
-    rev2 = jnp.asarray(_bitrev(n2_bits))
+    idx = jnp.asarray(_mid_gather_idx_np(n1_bits, n2_bits))
 
     def g(x):
-        t = x.reshape(n1, n2, c)[rev1][:, rev2]
-        return jnp.transpose(t, (1, 0, 2))
+        return jnp.take(x.reshape(n1 * n2, c), idx, axis=0).reshape(
+            n2, n1, c)
 
     z = (g(lo), g(hi))  # (n2, n1, c)
     t_lo, t_hi = _gather_twiddle(n1_bits, n2_bits, inverse)  # (n2, n1)
@@ -784,7 +990,7 @@ def _ntt_v2(a2: GL, nbits: int, inverse: bool, *,
     n_blocks = lo.shape[1] // _BC
     tw_lo, tw_hi = _stage_tables(n1_bits, inverse)
     y_lo, y_hi = _ntt_call_v2(n1_bits, n_blocks, True, zero_top,
-                              False, False, None, interpret)(
+                              False, False, None, interpret, inverse)(
         tw_lo, tw_hi, {}, lo, hi)
     y_lo, y_hi = y_lo[:, :b], y_hi[:, :b]
 
@@ -813,7 +1019,8 @@ def _ntt_v2(a2: GL, nbits: int, inverse: bool, *,
             (v_full >> np.uint64(32)).astype(np.uint32)[None, :])
     tw2_lo, tw2_hi = _stage_tables(n2_bits, inverse)
     out_lo, out_hi = _ntt_call_v2(n2_bits, n_blocks2, False, False,
-                                  sep, canon, const_scale, interpret)(
+                                  sep, canon, const_scale, interpret,
+                                  inverse)(
         tw2_lo, tw2_hi, extras2, z_lo, z_hi)
     out_lo, out_hi = out_lo[:, :b2], out_hi[:, :b2]
     return GL(out_lo.reshape(n, c), out_hi.reshape(n, c))
