@@ -37,6 +37,14 @@ import numpy as np
 def main():
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        # persistent compile cache (safe on the TPU runtime; avoids paying
+        # the ~2 min commit-pipeline compile on every bench invocation)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("MERLIN_COMPILE_CACHE",
+                                         "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from merlin_zkevm_prover_tpu.ops import goldilocks as gl
     from merlin_zkevm_prover_tpu.ops import ntt as nttmod
     from merlin_zkevm_prover_tpu.ops import poseidon_gl

@@ -71,12 +71,25 @@ class ExecuteResult:
 
 class Executor:
     def __init__(self, rom: Rom, hashdb: Optional[HashDB] = None,
-                 n_bits: int = 16, jmpn_low_bits: int = 23):
+                 n_bits: int = 16, jmpn_low_bits: int = 23,
+                 use_generated: bool = False):
+        """`use_generated` swaps the Main SM interpreter for the
+        ROM-specialized generated fast executor on the latency path
+        (reference config.useMainExecGenerated / main_exec_generated_fast,
+        executor.cpp:140-173); full-mode pols recording always takes the
+        interpreter, exactly like the reference `_fast` variant."""
         self.rom = rom
         self.hashdb = hashdb or HashDB()
         self.n = 1 << n_bits
-        self.main = MainExecutor(rom, self.hashdb, max_steps=self.n,
-                                 jmpn_low_bits=jmpn_low_bits)
+        if use_generated:
+            from .main_exec_generated import GeneratedMainExecutor
+
+            self.main = GeneratedMainExecutor(
+                rom, self.hashdb, max_steps=self.n,
+                jmpn_low_bits=jmpn_low_bits)
+        else:
+            self.main = MainExecutor(rom, self.hashdb, max_steps=self.n,
+                                     jmpn_low_bits=jmpn_low_bits)
         self.arith = ArithExecutor()
         self.binary = BinaryExecutor()
         self.memory = MemoryExecutor()

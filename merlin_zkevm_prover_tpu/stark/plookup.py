@@ -37,7 +37,15 @@ Value = Union[GL, GL3]
 
 
 def _key_limbs(v: Value) -> List[jnp.ndarray]:
-    """Most-significant-first uint32 limb list for lexicographic compare."""
+    """Most-significant-first limb list for lexicographic compare.
+
+    Under jax_enable_x64 each GL element packs into ONE u64 limb (XLA
+    emulates u64 compares on the TPU's 32-bit lanes) — halving the sort's
+    operand count, which is what its compile time scales with."""
+    if gl._x64():
+        if isinstance(v, GL3):
+            return [gl._pack(v.c2), gl._pack(v.c1), gl._pack(v.c0)]
+        return [gl._pack(v)]
     if isinstance(v, GL3):
         return [v.c2.hi, v.c2.lo, v.c1.hi, v.c1.lo, v.c0.hi, v.c0.lo]
     return [v.hi, v.lo]

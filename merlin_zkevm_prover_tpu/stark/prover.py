@@ -21,6 +21,7 @@ interaction, the reference's own host/device split — SURVEY §5).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -34,6 +35,7 @@ from ..ops.goldilocks import GL, P, SHIFT
 from ..ops.goldilocks3 import GL3
 from ..utils.timer import TimerLog
 from . import device_core as core
+from . import plookup as plookup_mod
 from .compiler import StarkInfo
 from .fri import fri_prove
 from .merkle_tree import MerkleTreeGL
@@ -102,22 +104,57 @@ class StarkProver:
         self._extend = functools.partial(
             nttmod.extend_pol_blocked, n_bits=info.n_bits,
             n_bits_ext=info.n_bits_ext)
-        self._step2 = jax.jit(functools.partial(core.step2_compute, info))
-        self._step3 = jax.jit(functools.partial(core.step3_compute, info))
-        # step4 runs in constraint batches (memory plan: the zkEVM's 631
-        # constraints at 2^19 cannot evaluate in one graph)
-        k_total = len(info.constraints)
-        ch = 64
-        self._step4_spans = [(k0, min(k0 + ch, k_total))
-                             for k0 in range(0, k_total, ch)]
+
+        # Staged stage functions with bounded-size graphs (see the staged
+        # section of device_core.py: XLA:TPU compile cost is super-linear
+        # in fusion/graph size, so the production path hands the compiler
+        # node-count-bounded chunks and reuses ONE jitted sort/scan kernel
+        # across all plookup/grand-product arguments).
+        max_nodes = int(os.environ.get("MERLIN_STEP_MAX_NODES", "250"))
+        self._step2_spans = core.plan_program_chunks(info.step2prev,
+                                                     max_nodes)
+        self._step2_chunks = [
+            jax.jit(functools.partial(core.step2_exprs_chunk, info, e0, e1))
+            for (e0, e1) in self._step2_spans
+        ]
+        self._h1h2 = jax.jit(plookup_mod.calculate_h1h2)
+        self._calc_z = jax.jit(plookup_mod.calculate_z)
+        self._step2_asm = jax.jit(functools.partial(core.step2_assemble,
+                                                    info))
+        self._step3_spans = core.plan_program_chunks(info.step3prev,
+                                                     max_nodes)
+        self._step3_needs = core.chunk_pending_inputs(info.step3prev,
+                                                      self._step3_spans)
+        self._step3_chunks = [
+            jax.jit(functools.partial(core.step3_exprs_chunk, info, e0, e1))
+            for (e0, e1) in self._step3_spans
+        ]
+        self._step3_asm = jax.jit(functools.partial(core.step3_assemble,
+                                                    info))
+        # step4 runs in node-count-bounded constraint batches (memory AND
+        # compile plan: the zkEVM's 979 constraints at 2^19 can neither
+        # stack in HBM nor compile as one graph)
+        self._step4_spans = core.step4_span_chunks(info, max_nodes)
         self._step4_chunks = [
             jax.jit(functools.partial(core.step4_chunk, info, k0, k1))
             for (k0, k1) in self._step4_spans
         ]
         self._step4_fin = jax.jit(functools.partial(core.step4_finalize,
                                                     info))
-        self._step5_evals = jax.jit(functools.partial(core.step5_evals, info))
-        self._step5_fri = jax.jit(functools.partial(core.step5_fri_pol, info))
+        step5_matrix_min = int(os.environ.get("MERLIN_STEP5_MATRIX_MIN",
+                                              "128"))
+        if len(info.ev_map) > step5_matrix_min:
+            self._step5_evals = jax.jit(
+                functools.partial(core.step5_evals_matrix, info))
+            self._step5_fri = jax.jit(
+                functools.partial(core.step5_fri_matrix, info))
+            self._step5_matrix = True
+        else:
+            self._step5_evals = jax.jit(
+                functools.partial(core.step5_evals, info))
+            self._step5_fri = jax.jit(
+                functools.partial(core.step5_fri_pol, info))
+            self._step5_matrix = False
 
     # ------------------------------------------------------------------
     def prove(self, cm1_trace: np.ndarray, publics: Optional[np.ndarray] = None,
@@ -161,12 +198,24 @@ class StarkProver:
             challenges[0] = transcript.get_field()
             challenges[1] = transcript.get_field()
             ch_dev = _challenges_gl3(challenges)
-            cm2_n, ok = self._step2(
-                {"cm1_n": sections["cm1_n"]}, self.const_n, ch_dev,
-                publics_dev, self.x_n,
-            )
-            if not bool(ok):
+            exp_vals: Dict[int, object] = {}
+            for fn in self._step2_chunks:
+                exp_vals.update(fn(
+                    {"cm1_n": sections["cm1_n"]}, self.const_n, ch_dev,
+                    publics_dev, self.x_n,
+                ))
+            h_cols: Dict[int, object] = {}
+            oks = []
+            for pu in info.pu_ctx:
+                f = exp_vals[pu.f_exp_id]
+                t = exp_vals[pu.t_exp_id]
+                h1, h2, ok = self._h1h2(f, t)
+                h_cols[pu.h1_id] = h1
+                h_cols[pu.h2_id] = h2
+                oks.append(ok)
+            if oks and not all(bool(x) for x in jax.device_get(oks)):
                 raise ValueError("plookup: f value not included in t")
+            cm2_n = self._step2_asm(h_cols)
             sections["cm2_n"] = cm2_n
             tree = commit("cm2", cm2_n)
             transcript.put(tree.root())
@@ -176,10 +225,26 @@ class StarkProver:
             challenges[2] = transcript.get_field()
             challenges[3] = transcript.get_field()
             ch_dev = _challenges_gl3(challenges)
-            cm3_n = self._step3(
-                {"cm1_n": sections["cm1_n"], "cm2_n": sections["cm2_n"]},
-                self.const_n, ch_dev, publics_dev, self.x_n,
-            )
+            sec3_in = {"cm1_n": sections["cm1_n"],
+                       "cm2_n": sections["cm2_n"]}
+            pending: Dict[int, object] = {}
+            for fn, need in zip(self._step3_chunks, self._step3_needs):
+                out = fn(sec3_in, self.const_n, ch_dev, publics_dev,
+                         self.x_n, {i: pending[i] for i in need})
+                pending.update(out)
+
+            def _as3(v):
+                return v if isinstance(v, GL3) else gl3.from_base(v)
+
+            cm3_cols = dict(pending)
+            for ctxs in (info.pu_ctx, info.pe_ctx, info.ci_ctx):
+                for c in ctxs:
+                    num = _as3(pending[c.num_id])
+                    den = _as3(pending[c.den_id])
+                    cm3_cols[c.num_id] = num
+                    cm3_cols[c.den_id] = den
+                    cm3_cols[c.z_id] = self._calc_z(num, den)
+            cm3_n = self._step3_asm(cm3_cols)
             sections["cm3_n"] = cm3_n
             tree = commit("cm3", cm3_n)
             transcript.put(tree.root())

@@ -28,6 +28,18 @@ def main():
 
     import jax
 
+    # persistent compile cache: the ~40 bounded-size stage graphs compile
+    # once and are reused across runs/processes (tested safe on the TPU
+    # runtime; the CPU-mesh test suite keeps it off — see tests/conftest)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MERLIN_COMPILE_CACHE",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # packed-u64 field ops: ~10x smaller traced graphs for identical TPU
+    # machine code (XLA emulates u64 on 32-bit lanes); this is what keeps
+    # the 54k-node zkEVM step programs within the compiler's budget
+    jax.config.update("jax_enable_x64", True)
+
     print(f"device: {jax.devices()[0]}", flush=True)
 
     from merlin_zkevm_prover_tpu.models.zkevm import (
