@@ -625,3 +625,62 @@ def step5_fri_matrix(info: StarkInfo, sections: Dict[str, GL],
         fw = gl3.mul(gl3.sub(acc[True], sub[True]), gl3.mul(xdivw, v2))
         f_val = gl3.add(f_val, fw)
     return f_val
+
+
+# ---------------------------------------------------------------------------
+# VM-backed stage functions (large circuits: one lax.scan per stage, see
+# stark/vm.py — compile cost O(1) in program size)
+# ---------------------------------------------------------------------------
+
+
+def _transpose(m: GL) -> GL:
+    return GL(m.lo.T, m.hi.T)
+
+
+def step2_vm(info: StarkInfo, vmprog, sections: Dict[str, GL], const_n: GL,
+             challenges: GL3, publics: GL, x_n: GL):
+    """f/t expressions via the VM; returns exp id -> (n,) GL3."""
+    from . import vm as vm_mod
+
+    sections_t = {"cm1_n": _transpose(sections["cm1_n"]),
+                  "const": _transpose(const_n)}
+    out = vm_mod.run_program(
+        vmprog, info, sections_t, info.n, challenges=challenges,
+        publics=publics, x=x_n, roll_k=1)
+    return {dest[1]: v for dest, v in out.items()}
+
+
+def step3_vm(info: StarkInfo, vmprog, sections: Dict[str, GL], const_n: GL,
+             challenges: GL3, publics: GL, x_n: GL):
+    """num/den/im columns via the VM; returns cm id -> (n,) GL3."""
+    from . import vm as vm_mod
+
+    sections_t = {"cm1_n": _transpose(sections["cm1_n"]),
+                  "cm2_n": _transpose(sections["cm2_n"]),
+                  "const": _transpose(const_n)}
+    out = vm_mod.run_program(
+        vmprog, info, sections_t, info.n, challenges=challenges,
+        publics=publics, x=x_n, roll_k=1)
+    return {dest[1]: v for dest, v in out.items()}
+
+
+def step4_vm(info: StarkInfo, vmprog, sections: Dict[str, GL],
+             const_2ns: GL, challenges: GL3, publics: GL, x_2ns: GL,
+             zi: GL) -> GL:
+    """Full quotient via the VM (c_exp as ONE dest — the alpha-Horner
+    accumulator folds inside the scan, so constraint values die
+    immediately instead of pinning 979 registers), then the INTT/split/
+    NTT finalize."""
+    from . import vm as vm_mod
+
+    sections_t = {
+        "cm1_2ns": _transpose(sections["cm1_2ns"]),
+        "cm2_2ns": _transpose(sections["cm2_2ns"]),
+        "cm3_2ns": _transpose(sections["cm3_2ns"]),
+        "const": _transpose(const_2ns),
+    }
+    out = vm_mod.run_program(
+        vmprog, info, sections_t, info.n_ext, challenges=challenges,
+        publics=publics, x=x_2ns, zi=zi,
+        roll_k=1 << info.blowup_bits)
+    return step4_finalize(info, out[("acc", 0)], zi)

@@ -32,21 +32,25 @@ class MerkleTreeGL:
         self.source = source
         self.height, self.width = source.shape
         self.nodes: GL = None
+        self._nodes_host = None
 
     def merkelize(self) -> None:
-        self.nodes = poseidon_gl.merkelize_cached(self.source)
+        nodes = poseidon_gl.merkelize_cached(self.source)
+        # The (2N-1, 4) node array is only ever read on the HOST (root
+        # absorption + query sibling paths), but on device its 4-lane
+        # minor dim pads to 128 — a 32x inflation (~1 GB per production
+        # tree, ~10 GB across the proof's 9 trees).  Fetch once, free the
+        # device copy immediately.
+        self._nodes_host = gl.to_u64(nodes)
+        self.nodes = None
 
     def root(self) -> List[int]:
-        assert self.nodes is not None
-        return [int(v) for v in gl.to_u64(self.nodes[-1])]
+        assert self._nodes_host is not None
+        return [int(v) for v in self._nodes_host[-1]]
 
     # ---- host-side query proofs (small; operate on fetched numpy) ----
 
     def _nodes_np(self) -> np.ndarray:
-        # one device->host fetch per tree (queries index the cached copy;
-        # without this every query refetches the full node array)
-        if getattr(self, "_nodes_host", None) is None:
-            self._nodes_host = gl.to_u64(self.nodes)
         return self._nodes_host
 
     def get_group_proof(self, idx: int) -> Tuple[np.ndarray, List[List[int]]]:

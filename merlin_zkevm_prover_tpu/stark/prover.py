@@ -111,36 +111,67 @@ class StarkProver:
         # node-count-bounded chunks and reuses ONE jitted sort/scan kernel
         # across all plookup/grand-product arguments).
         max_nodes = int(os.environ.get("MERLIN_STEP_MAX_NODES", "250"))
-        self._step2_spans = core.plan_program_chunks(info.step2prev,
-                                                     max_nodes)
-        self._step2_chunks = [
-            jax.jit(functools.partial(core.step2_exprs_chunk, info, e0, e1))
-            for (e0, e1) in self._step2_spans
-        ]
+        # Above this program size, stages run on the scan VM (stark/vm.py:
+        # one O(1)-compile lax.scan per stage — the chelpers-parser form);
+        # below it, fused per-chunk graphs win on runtime and compile fast
+        # enough (smoke/recursion circuits).
+        vm_min = int(os.environ.get("MERLIN_VM_MIN_NODES", "3000"))
+        from . import vm as vm_mod
+
         self._h1h2 = jax.jit(plookup_mod.calculate_h1h2)
         self._calc_z = jax.jit(plookup_mod.calculate_z)
         self._step2_asm = jax.jit(functools.partial(core.step2_assemble,
                                                     info))
-        self._step3_spans = core.plan_program_chunks(info.step3prev,
-                                                     max_nodes)
-        self._step3_needs = core.chunk_pending_inputs(info.step3prev,
-                                                      self._step3_spans)
-        self._step3_chunks = [
-            jax.jit(functools.partial(core.step3_exprs_chunk, info, e0, e1))
-            for (e0, e1) in self._step3_spans
-        ]
         self._step3_asm = jax.jit(functools.partial(core.step3_assemble,
                                                     info))
-        # step4 runs in node-count-bounded constraint batches (memory AND
-        # compile plan: the zkEVM's 979 constraints at 2^19 can neither
-        # stack in HBM nor compile as one graph)
-        self._step4_spans = core.step4_span_chunks(info, max_nodes)
-        self._step4_chunks = [
-            jax.jit(functools.partial(core.step4_chunk, info, k0, k1))
-            for (k0, k1) in self._step4_spans
-        ]
         self._step4_fin = jax.jit(functools.partial(core.step4_finalize,
                                                     info))
+
+        def prog_nodes(prog):
+            seen: set = set()
+            return sum(core._expr_new_nodes(e, seen) for _d, e in prog)
+
+        self._vm2 = self._vm3 = self._vm4 = None
+        if prog_nodes(info.step2prev) > vm_min:
+            p2 = vm_mod.compile_program(info.step2prev, info, "n",
+                                        ["cm1_n", "const"])
+            self._vm2 = jax.jit(functools.partial(core.step2_vm, info, p2))
+        else:
+            self._step2_spans = core.plan_program_chunks(info.step2prev,
+                                                         max_nodes)
+            self._step2_chunks = [
+                jax.jit(functools.partial(core.step2_exprs_chunk, info,
+                                          e0, e1))
+                for (e0, e1) in self._step2_spans
+            ]
+        if prog_nodes(info.step3prev) > vm_min:
+            p3 = vm_mod.compile_program_ordered(
+                info.step3prev, info, "n", ["cm1_n", "cm2_n", "const"])
+            self._vm3 = jax.jit(functools.partial(core.step3_vm, info, p3))
+        else:
+            self._step3_spans = core.plan_program_chunks(info.step3prev,
+                                                         max_nodes)
+            self._step3_needs = core.chunk_pending_inputs(
+                info.step3prev, self._step3_spans)
+            self._step3_chunks = [
+                jax.jit(functools.partial(core.step3_exprs_chunk, info,
+                                          e0, e1))
+                for (e0, e1) in self._step3_spans
+            ]
+        if prog_nodes(info.step42ns) > vm_min:
+            p4 = vm_mod.compile_program(
+                [(("acc", 0), info.c_exp)], info, "ext",
+                ["cm1_2ns", "cm2_2ns", "cm3_2ns", "const"])
+            self._vm4 = jax.jit(functools.partial(core.step4_vm, info, p4))
+        else:
+            # node-count-bounded constraint batches (memory AND compile
+            # plan: the zkEVM's 979 constraints at 2^19 can neither stack
+            # in HBM nor compile as one graph)
+            self._step4_spans = core.step4_span_chunks(info, max_nodes)
+            self._step4_chunks = [
+                jax.jit(functools.partial(core.step4_chunk, info, k0, k1))
+                for (k0, k1) in self._step4_spans
+            ]
         step5_matrix_min = int(os.environ.get("MERLIN_STEP5_MATRIX_MIN",
                                               "128"))
         if len(info.ev_map) > step5_matrix_min:
@@ -199,11 +230,21 @@ class StarkProver:
             challenges[1] = transcript.get_field()
             ch_dev = _challenges_gl3(challenges)
             exp_vals: Dict[int, object] = {}
-            for fn in self._step2_chunks:
-                exp_vals.update(fn(
-                    {"cm1_n": sections["cm1_n"]}, self.const_n, ch_dev,
-                    publics_dev, self.x_n,
-                ))
+            if self._vm2 is not None:
+                out = self._vm2({"cm1_n": sections["cm1_n"]}, self.const_n,
+                                ch_dev, publics_dev, self.x_n)
+                for eid, v in out.items():
+                    # dim-1 expressions ride the VM as GL3 with zero high
+                    # components; drop to GL so the h1/h2 sort keys stay
+                    # single-limb
+                    exp_vals[eid] = v.c0 if info.exp_dims[eid] == 1 else v
+                del out
+            else:
+                for fn in self._step2_chunks:
+                    exp_vals.update(fn(
+                        {"cm1_n": sections["cm1_n"]}, self.const_n, ch_dev,
+                        publics_dev, self.x_n,
+                    ))
             h_cols: Dict[int, object] = {}
             oks = []
             for pu in info.pu_ctx:
@@ -216,8 +257,12 @@ class StarkProver:
             if oks and not all(bool(x) for x in jax.device_get(oks)):
                 raise ValueError("plookup: f value not included in t")
             cm2_n = self._step2_asm(h_cols)
+            del exp_vals, h_cols    # free f/t + h columns' HBM now
             sections["cm2_n"] = cm2_n
             tree = commit("cm2", cm2_n)
+            del cm2_n
+            if info.pu_ctx:
+                del f, t, h1, h2
             transcript.put(tree.root())
 
         # ---- step 3 ----
@@ -228,10 +273,18 @@ class StarkProver:
             sec3_in = {"cm1_n": sections["cm1_n"],
                        "cm2_n": sections["cm2_n"]}
             pending: Dict[int, object] = {}
-            for fn, need in zip(self._step3_chunks, self._step3_needs):
-                out = fn(sec3_in, self.const_n, ch_dev, publics_dev,
-                         self.x_n, {i: pending[i] for i in need})
-                pending.update(out)
+            if self._vm3 is not None:
+                out = self._vm3(sec3_in, self.const_n, ch_dev,
+                                publics_dev, self.x_n)
+                for pid, v in out.items():
+                    pending[pid] = v.c0 if info.cm_pols[pid].dim == 1 \
+                        else v
+                del out
+            else:
+                for fn, need in zip(self._step3_chunks, self._step3_needs):
+                    out = fn(sec3_in, self.const_n, ch_dev, publics_dev,
+                             self.x_n, {i: pending[i] for i in need})
+                    pending.update(out)
 
             def _as3(v):
                 return v if isinstance(v, GL3) else gl3.from_base(v)
@@ -245,8 +298,17 @@ class StarkProver:
                     cm3_cols[c.den_id] = den
                     cm3_cols[c.z_id] = self._calc_z(num, den)
             cm3_n = self._step3_asm(cm3_cols)
+            # free the ~3 GB of num/den/im/z column intermediates before
+            # the ext-domain stages (the 2^18 x 665-col memory plan needs
+            # every section's HBM exactly once)
+            pending.clear()
+            cm3_cols.clear()
+            del pending, cm3_cols, sec3_in
+            if info.pu_ctx or info.pe_ctx or info.ci_ctx:
+                del num, den
             sections["cm3_n"] = cm3_n
             tree = commit("cm3", cm3_n)
+            del cm3_n
             transcript.put(tree.root())
 
         # ---- step 4 ----
@@ -261,11 +323,15 @@ class StarkProver:
                 k: sections[k]
                 for k in ("cm1_2ns", "cm2_2ns", "cm3_2ns")
             }
-            acc = gl3.zeros((info.n_ext,))
-            for fn in self._step4_chunks:
-                acc = fn(ext_sections, self.const_2ns, ch_dev,
-                         publics_dev, self.x_2ns, self.zi, acc)
-            cm4 = self._step4_fin(acc, self.zi)
+            if self._vm4 is not None:
+                cm4 = self._vm4(ext_sections, self.const_2ns, ch_dev,
+                                publics_dev, self.x_2ns, self.zi)
+            else:
+                acc = gl3.zeros((info.n_ext,))
+                for fn in self._step4_chunks:
+                    acc = fn(ext_sections, self.const_2ns, ch_dev,
+                             publics_dev, self.x_2ns, self.zi, acc)
+                cm4 = self._step4_fin(acc, self.zi)
             sections["cm4_2ns"] = cm4
             tree = self.tree_cls(cm4)
             tree.merkelize()

@@ -78,7 +78,7 @@ def test_merkle_tree_roundtrip():
     source = rng.integers(0, P, (h, w), dtype=np.uint64)
     tree = MerkleTreeGL(gl.from_u64(source))
     tree.merkelize()
-    assert tree.nodes.shape == (2 * h - 1, 4)
+    assert tree._nodes_np().shape == (2 * h - 1, 4)
     root = tree.root()
     for idx in [0, 5, 15]:
         row, siblings = tree.get_group_proof(idx)

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--queries", type=int, default=32)
     ap.add_argument("--vector", default="/root/reference/testvectors/"
                     "batchProof/input_executor_0.json")
+    ap.add_argument("--save", default="",
+                    help="save proof JSON + publics here after verifying")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +76,16 @@ def main():
     print(f"verify: {time.time()-t0:.1f}s", flush=True)
 
     print("publics[:12]:", [int(x) for x in publics[:12]])
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump({
+                "proof": json.loads(proof.to_json()),
+                "publics": [int(x) for x in publics],
+                "const_root": [int(v) for v in prover.const_tree.root()],
+                "n_bits": args.nbits,
+                "n_queries": args.queries,
+            }, f)
+        print(f"saved proof to {args.save}", flush=True)
     print("VERIFIED: real zkEVM main.pil proof of "
           f"{os.path.basename(args.vector)} at 2^{args.nbits}", flush=True)
 
