@@ -33,7 +33,26 @@ import numpy as np
 
 from . import goldilocks as gl
 from .goldilocks import GL, P, SHIFT
-from .poseidon_tpu import _gl_mul  # same uint32-limb field mul
+from .poseidon_tpu import _gl_mul as _gl_mul_lazy  # uint32-limb field mul
+
+
+def _gl_mul(a, b):
+    """Field mul with CANONICAL output.
+
+    poseidon_tpu._reduce128 defers canonicalization (residues in
+    [0, 2^64)), which is sound inside the Poseidon kernel's analyzed
+    value domains — but this module's _gl_add/_gl_sub carry chains are
+    exact only for canonical (< p) operands: two near-2^64 inputs can
+    overflow the epsilon-correction's second-order carry and silently
+    drop 2^64 ≡ ε.  Random data hits the [p, 2^64) window with
+    probability ~2^-32 per op (which is how it survived bit-exactness
+    tests against the jnp path); structured data — one-hot columns, the
+    zkEVM's sparse trace — hits it constantly.  One compare+select per
+    mul restores the all-canonical invariant end to end."""
+    lo, hi = _gl_mul_lazy(a, b)
+    ge = (hi == np.uint32(0xFFFFFFFF)) & (lo != 0)
+    return (jnp.where(ge, lo - np.uint32(1), lo),
+            jnp.where(ge, jnp.zeros_like(hi), hi))
 
 try:
     from jax.experimental import pallas as pl

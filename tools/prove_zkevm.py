@@ -71,23 +71,27 @@ def main():
     proof = prover.prove(cm1, publics, timer=tlog)
     print(f"prove: {time.time()-t0:.1f}s", flush=True)
 
+    if args.save:  # save first: a verify failure keeps the artifact
+        _save(args, proof, publics, prover)
     t0 = time.time()
     verify(info, prover.const_tree.root(), proof)
     print(f"verify: {time.time()-t0:.1f}s", flush=True)
 
     print("publics[:12]:", [int(x) for x in publics[:12]])
-    if args.save:
-        with open(args.save, "w") as f:
-            json.dump({
-                "proof": json.loads(proof.to_json()),
-                "publics": [int(x) for x in publics],
-                "const_root": [int(v) for v in prover.const_tree.root()],
-                "n_bits": args.nbits,
-                "n_queries": args.queries,
-            }, f)
-        print(f"saved proof to {args.save}", flush=True)
     print("VERIFIED: real zkEVM main.pil proof of "
           f"{os.path.basename(args.vector)} at 2^{args.nbits}", flush=True)
+
+
+def _save(args, proof, publics, prover):
+    with open(args.save, "w") as f:
+        json.dump({
+            "proof": json.loads(proof.to_json()),
+            "publics": [int(x) for x in publics],
+            "const_root": [int(v) for v in prover.const_tree.root()],
+            "n_bits": args.nbits,
+            "n_queries": args.queries,
+        }, f)
+    print(f"saved proof to {args.save}", flush=True)
 
 
 if __name__ == "__main__":
